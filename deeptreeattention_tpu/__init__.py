@@ -1,0 +1,19 @@
+"""DeepTreeAttention-TPU: a TPU-native tree-species classification framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+weecology/DeepTreeAttention (reference: /root/reference): NEON field data ->
+crown detection -> per-crown hyperspectral crops -> multi-year hierarchical
+species classifier -> landscape-scale tile prediction.
+
+Design stance (not a port):
+  * Compute path: flax models, jit-compiled preprocessing, Pallas fused
+    kernels for the Hang2020 conv-attention ladder, bfloat16 on the MXU.
+  * Scale-out: ``jax.sharding.Mesh`` + ``shard_map`` data parallelism over
+    ICI replaces single-GPU Lightning; a host-side futures pool replaces
+    dask/SLURM for the IO-bound ETL.
+  * Geospatial IO: an in-house geo engine (GeoTIFF + ESRI shapefile codecs,
+    box/point geometry, UTM reprojection) with a C++ fast path replaces
+    GDAL/GEOS/rasterio/geopandas.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,227 @@
+"""GeoDataFrame: pandas subclass with a geometry column (geopandas-lite).
+
+Provides the geopandas surface the pipeline uses — read_file/to_file,
+sjoin, clip, to_crs, total_bounds, centroid/buffer/envelope/area — over the
+in-house geometry and shapefile codec. Geometry is stored as an object-dtype
+column of geo.geometry objects.
+"""
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.geo import crs as crs_mod
+from deeptreeattention_tpu.geo import shapefile as shp_io
+from deeptreeattention_tpu.geo.geometry import Box, Geometry, Point, Polygon
+
+
+class GeoDataFrame(pd.DataFrame):
+    _metadata = ["crs", "_geom_col"]
+
+    def __init__(self, data=None, *args, geometry=None, crs=None, **kwargs):
+        gcol = None
+        if geometry is not None and not isinstance(geometry, str):
+            # geometry passed as a sequence
+            super().__init__(data, *args, **kwargs)
+            self["geometry"] = list(geometry)
+            gcol = "geometry"
+        else:
+            super().__init__(data, *args, **kwargs)
+            gcol = geometry if isinstance(geometry, str) else None
+        object.__setattr__(self, "crs", crs if crs is not None else getattr(data, "crs", None))
+        object.__setattr__(self, "_geom_col", gcol or getattr(data, "_geom_col", None) or "geometry")
+
+    @property
+    def _constructor(self):
+        return GeoDataFrame
+
+    # -- geometry accessors ---------------------------------------------------
+    @property
+    def geometry(self):
+        return self[self._geom_col]
+
+    @geometry.setter
+    def geometry(self, values):
+        self[self._geom_col] = list(values) if not isinstance(values, pd.Series) else values
+
+    @property
+    def total_bounds(self):
+        bs = [g.bounds for g in self.geometry if isinstance(g, Geometry)]
+        if not bs:
+            return np.array([np.nan] * 4)
+        bs = np.asarray(bs)
+        return np.array([bs[:, 0].min(), bs[:, 1].min(), bs[:, 2].max(), bs[:, 3].max()])
+
+    @property
+    def centroid(self):
+        return self.geometry.apply(lambda g: g.centroid if isinstance(g, Geometry) else None)
+
+    @property
+    def envelope(self):
+        return self.geometry.apply(lambda g: g.envelope if isinstance(g, Geometry) else None)
+
+    @property
+    def area(self):
+        return self.geometry.apply(lambda g: g.area if isinstance(g, Geometry) else np.nan)
+
+    @property
+    def bounds(self):
+        rows = [g.bounds if isinstance(g, Geometry) else (np.nan,) * 4 for g in self.geometry]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"], index=self.index)
+
+    def buffer(self, dist):
+        return self.geometry.apply(lambda g: g.buffer(dist) if isinstance(g, Geometry) else None)
+
+    def distance(self, other):
+        return self.geometry.apply(lambda g: g.distance(other) if isinstance(g, Geometry) else np.nan)
+
+    # -- CRS -------------------------------------------------------------------
+    def set_crs(self, epsg=None, crs=None, inplace=False, allow_override=True):
+        target = epsg or crs
+        if inplace:
+            object.__setattr__(self, "crs", int(target))
+            return self
+        out = self.copy()
+        object.__setattr__(out, "crs", int(target))
+        return out
+
+    def to_crs(self, epsg=None, crs=None, inplace=False):
+        target = int(epsg or crs)
+        if self.crs is None:
+            raise ValueError("source CRS unset; call set_crs first")
+        geoms = [_reproject_geom(g, self.crs, target) for g in self.geometry]
+        if inplace:
+            self[self._geom_col] = geoms
+            object.__setattr__(self, "crs", target)
+            return self
+        out = self.copy()
+        out[out._geom_col] = geoms
+        object.__setattr__(out, "crs", target)
+        return out
+
+    # -- IO ----------------------------------------------------------------------
+    def to_file(self, path, **kwargs):
+        recs = []
+        gcol = self._geom_col
+        attr_cols = [c for c in self.columns if c != gcol]
+        for _, row in self.iterrows():
+            recs.append({str(c)[:10]: _dbf_safe(row[c]) for c in attr_cols})
+        shp_io.write_shapefile(path, list(self.geometry), recs, epsg=self.crs)
+        return path
+
+
+def read_file(path):
+    geoms, records, epsg = shp_io.read_shapefile(path)
+    df = pd.DataFrame.from_records(records) if records else pd.DataFrame(index=range(len(geoms)))
+    gdf = GeoDataFrame(df, crs=epsg)
+    gdf["geometry"] = geoms
+    return gdf
+
+
+def points_from_xy(xs, ys):
+    return [Point(x, y) for x, y in zip(xs, ys)]
+
+
+def sjoin(left, right, how="inner", predicate="intersects", lsuffix="left", rsuffix="right"):
+    """Spatial inner join: pairs whose geometries intersect.
+
+    Output: left rows (+geometry) joined with right attribute columns and
+    ``index_right`` — the geopandas result shape the pipeline relies on
+    (reference src/generate.py:112, src/megaplot.py:43).
+    """
+    lgeoms = list(left.geometry)
+    rgeoms = list(right.geometry)
+    rindex = list(right.index)
+    # grid index over right bounds for sub-quadratic joins
+    cell = _mean_size(rgeoms) or 1.0
+    grid = {}
+    for j, g in enumerate(rgeoms):
+        if g is None:
+            continue
+        minx, miny, maxx, maxy = g.bounds
+        for cx in range(int(minx // cell), int(maxx // cell) + 1):
+            for cy in range(int(miny // cell), int(maxy // cell) + 1):
+                grid.setdefault((cx, cy), []).append(j)
+
+    pairs = []
+    for i, g in enumerate(lgeoms):
+        if g is None:
+            continue
+        minx, miny, maxx, maxy = g.bounds
+        seen = set()
+        for cx in range(int(minx // cell), int(maxx // cell) + 1):
+            for cy in range(int(miny // cell), int(maxy // cell) + 1):
+                for j in grid.get((cx, cy), ()):
+                    if j in seen:
+                        continue
+                    seen.add(j)
+                    if _intersects(g, rgeoms[j]):
+                        pairs.append((i, j))
+
+    lcols = list(left.columns)
+    rcols = [c for c in right.columns if c != right._geom_col] if isinstance(right, GeoDataFrame) else list(right.columns)
+    out_cols = {}
+    for c in lcols:
+        name = c if (c not in rcols or c == left._geom_col) else "{}_{}".format(c, lsuffix)
+        out_cols[name] = [left.iloc[i][c] for i, _ in pairs]
+    for c in rcols:
+        name = c if c not in lcols else "{}_{}".format(c, rsuffix)
+        out_cols[name] = [right[c].iloc[j] for _, j in pairs]
+    out_cols["index_right"] = [rindex[j] for _, j in pairs]
+    out = GeoDataFrame(pd.DataFrame(out_cols), crs=getattr(left, "crs", None))
+    out.index = [left.index[i] for i, _ in pairs]
+    return out
+
+
+def clip(gdf, boundary):
+    """Rows of gdf whose geometry intersects the boundary layer."""
+    if isinstance(boundary, GeoDataFrame):
+        bgeoms = [g for g in boundary.geometry if g is not None]
+    else:
+        bgeoms = [boundary]
+    keep = []
+    for i, g in enumerate(gdf.geometry):
+        keep.append(g is not None and any(_intersects(g, b) for b in bgeoms))
+    return gdf[np.asarray(keep, bool)]
+
+
+def _intersects(a, b):
+    if not a.bbox_intersects(b):
+        return False
+    if isinstance(a, Point) and isinstance(b, (Polygon, Box)):
+        return b.contains(a)
+    if isinstance(b, Point) and isinstance(a, (Polygon, Box)):
+        return a.contains(b)
+    return True  # box/box and polygon bbox overlap approximation
+
+
+def _mean_size(geoms):
+    sizes = []
+    for g in geoms[:512]:
+        if g is None:
+            continue
+        minx, miny, maxx, maxy = g.bounds
+        sizes.append(max(maxx - minx, maxy - miny, 1e-9))
+    if not sizes:
+        return None
+    return float(np.median(sizes)) * 4
+
+
+def _reproject_geom(g, src, dst):
+    if g is None:
+        return None
+    if isinstance(g, Point):
+        x, y = crs_mod.transform_xy(g.x, g.y, src, dst)
+        return Point(float(x), float(y))
+    ring = getattr(g, "exterior_coords")
+    xs, ys = zip(*ring)
+    tx, ty = crs_mod.transform_xy(np.array(xs), np.array(ys), src, dst)
+    return Polygon(list(zip(tx.tolist(), ty.tolist())))
+
+
+def _dbf_safe(v):
+    if isinstance(v, Geometry):
+        return v.wkt
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    return v

@@ -1,0 +1,90 @@
+"""Zonal statistics over rasters (rasterstats replacement).
+
+The CHM filter extracts a non-zero 99th-percentile height per crown geometry
+(reference src/CHM.py:9-29 via rasterstats.zonal_stats); this module computes
+arbitrary add_stats callables over the pixels covered by each geometry.
+"""
+import numpy as np
+
+from deeptreeattention_tpu.geo.affine import window_from_bounds
+from deeptreeattention_tpu.geo.geometry import Box, Point, Polygon
+from deeptreeattention_tpu.geo.raster import open_raster
+
+
+def zonal_stats(geometries, raster_path, stats=("mean",), add_stats=None, nodata=None):
+    """Per-geometry stats dicts over band 1 of the raster."""
+    add_stats = add_stats or {}
+    results = []
+    with open_raster(raster_path) as src:
+        nd = nodata if nodata is not None else src.nodata
+        for geom in geometries:
+            vals = _pixels_for(geom, src)
+            if nd is not None and vals.size:
+                vals = vals[vals != nd]
+            rec = {}
+            for s in stats:
+                rec[s] = _builtin_stat(s, vals)
+            for name, fn in add_stats.items():
+                rec[name] = fn(vals) if vals.size else None
+            results.append(rec)
+    return results
+
+
+def _pixels_for(geom, src):
+    if geom is None:
+        return np.array([])
+    if isinstance(geom, Point):
+        # single containing pixel
+        row, col = src.transform.rowcol(geom.x, geom.y)
+        if 0 <= row < src.height and 0 <= col < src.width:
+            from deeptreeattention_tpu.geo.affine import Window
+
+            v = src.read(window=Window(col, row, 1, 1))
+            return v.reshape(-1).astype(np.float64)
+        return np.array([])
+    left, bottom, right, top = geom.bounds
+    win = window_from_bounds(left, bottom, right, top, src.transform).round()
+    if win.width <= 0:
+        win.width = 1
+    if win.height <= 0:
+        win.height = 1
+    arr = src.read(window=win)
+    if arr.size == 0:
+        return np.array([])
+    band = arr[0].astype(np.float64)
+    if isinstance(geom, Polygon):
+        mask = _polygon_mask(geom, src, win)
+        band = band[mask]
+    return band.reshape(-1)
+
+
+def _polygon_mask(geom, src, win):
+    h, w = win.height, win.width
+    mask = np.zeros((h, w), bool)
+    for r in range(h):
+        for c in range(w):
+            x, y = src.transform.xy(win.row_off + r, win.col_off + c)
+            mask[r, c] = geom.contains(Point(x, y))
+    if not mask.any():
+        mask[:] = True  # fall back to the bbox (tiny geometries)
+    return mask
+
+
+def _builtin_stat(name, vals):
+    if vals.size == 0:
+        return None
+    if name == "mean":
+        return float(np.mean(vals))
+    if name == "max":
+        return float(np.max(vals))
+    if name == "min":
+        return float(np.min(vals))
+    if name == "sum":
+        return float(np.sum(vals))
+    if name == "count":
+        return int(vals.size)
+    if name == "median":
+        return float(np.median(vals))
+    if name == "std":
+        return float(np.std(vals))
+    raise ValueError("unknown stat {}".format(name))

@@ -1,0 +1,100 @@
+"""Test fixtures.
+
+Forces an 8-virtual-device CPU platform BEFORE jax initializes so sharding
+tests exercise a real multi-device mesh without TPU hardware (mirrors the
+reference's no-GPU-in-CI strategy, reference tests/conftest.py:83).
+
+Fixture strategy follows reference tests/conftest.py:26-116: a committed
+miniature data artifact + config override + session-scoped datamodule/model,
+with the live DeepForest download replaced by a deterministic stub detector.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ROOT():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(ROOT, tmp_path_factory):
+    """Generate the synthetic miniature data artifact once per session."""
+    from tests.make_fixtures import ensure_fixtures
+
+    out = os.path.join(ROOT, "tests", "data")
+    ensure_fixtures(out)
+    return out
+
+
+@pytest.fixture(scope="session")
+def config(ROOT, fixtures_dir):
+    from deeptreeattention_tpu.utils.config import default_config
+
+    cfg = default_config()
+    artifact = os.path.join(fixtures_dir, "artifact")
+    cfg["min_CHM_height"] = None
+    cfg["iterations"] = 1
+    cfg["rgb_sensor_pool"] = os.path.join(fixtures_dir, "rgb", "*.tif")
+    cfg["HSI_sensor_pool"] = os.path.join(fixtures_dir, "hsi", "*.tif")
+    cfg["CHM_pool"] = os.path.join(fixtures_dir, "chm", "*.tif")
+    cfg["min_train_samples"] = 1
+    cfg["min_test_samples"] = 1
+    cfg["crop_dir"] = artifact
+    cfg["data_dir"] = fixtures_dir
+    cfg["bands"] = 8
+    cfg["classes"] = 3
+    cfg["top_k"] = 1
+    cfg["convert_h5"] = False
+    cfg["plot_n_individuals"] = 0
+    cfg["megaplot_dir"] = None
+    cfg["use_data_commit"] = "artifact"
+    cfg["dead"]["epochs"] = 1
+    cfg["pretrain_state_dict"] = None
+    cfg["preload_images"] = False
+    cfg["batch_size"] = 2
+    cfg["workers"] = 0
+    cfg["dead"]["num_workers"] = 0
+    cfg["dead"]["batch_size"] = 2
+    cfg["epochs"] = 1
+    cfg["compute_dtype"] = "float32"
+    cfg["samples_from_other_sites"] = 1000
+    return cfg
+
+
+@pytest.fixture(scope="session")
+def dm(config, fixtures_dir):
+    from deeptreeattention_tpu.data.datamodule import TreeData
+
+    artifact = os.path.join(fixtures_dir, "artifact")
+    return TreeData(
+        csv_file=os.path.join(artifact, "train.csv"),
+        config=config,
+        data_dir=artifact,
+        debug=True,
+    )
+
+
+@pytest.fixture(scope="session")
+def m(config, dm):
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    return MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=config)
+
+
+@pytest.fixture(scope="session")
+def experiment(tmp_path_factory):
+    from deeptreeattention_tpu.utils.logging import Experiment
+
+    return Experiment(savedir=str(tmp_path_factory.mktemp("exp")))
