@@ -131,7 +131,7 @@ def sjoin(left, right, how="inner", predicate="intersects", lsuffix="left", rsuf
     rgeoms = list(right.geometry)
     rindex = list(right.index)
     # grid index over right bounds for sub-quadratic joins
-    cell = _mean_size(rgeoms) or 1.0
+    cell = _grid_cell(lgeoms + rgeoms)
     grid = {}
     for j, g in enumerate(rgeoms):
         if g is None:
@@ -193,16 +193,23 @@ def _intersects(a, b):
     return True  # box/box and polygon bbox overlap approximation
 
 
-def _mean_size(geoms):
+def _grid_cell(geoms):
+    """Pick a grid cell size bounded below by total-extent/1024 so degenerate
+    geometries (points) can't explode the per-geometry cell ranges."""
     sizes = []
-    for g in geoms[:512]:
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    for g in geoms[:2048]:
         if g is None:
             continue
-        minx, miny, maxx, maxy = g.bounds
-        sizes.append(max(maxx - minx, maxy - miny, 1e-9))
-    if not sizes:
-        return None
-    return float(np.median(sizes)) * 4
+        b = g.bounds
+        sizes.append(max(b[2] - b[0], b[3] - b[1]))
+        minx, miny = min(minx, b[0]), min(miny, b[1])
+        maxx, maxy = max(maxx, b[2]), max(maxy, b[3])
+    if not sizes or not np.isfinite(minx):
+        return 1.0
+    extent = max(maxx - minx, maxy - miny, 1e-9)
+    return float(max(np.median(sizes) * 4, extent / 1024.0, 1e-9))
 
 
 def _reproject_geom(g, src, dst):
