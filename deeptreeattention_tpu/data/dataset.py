@@ -1,0 +1,135 @@
+"""TreeDataset: year-stacked per-crown HSI crops + batched host loader.
+
+Capability parity with reference src/data.py:239-311 (TreeDataset) re-shaped
+for TPU feeding: an item is (individual, images[Y, S, S, C] float32, label)
+with missing years zero-filled, and the loader collates fixed-shape numpy
+batches (optionally padded to a static batch size so every training step hits
+the same compiled program). `preload=True` materializes the whole dataset as
+one [N, Y, S, S, C] array — batching becomes pure slicing.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.ops.preprocess import load_image
+
+
+class TreeDataset:
+    def __init__(self, df=None, csv_file=None, config=None, train=True, years=None):
+        if csv_file is not None:
+            self.annotations = pd.read_csv(csv_file)
+        else:
+            self.annotations = df.copy()
+        self.config = config
+        self.train = train
+        self.image_size = config["image_size"]
+        self.bands = config["bands"]
+        # year axis: order of first appearance (reference semantics)
+        if years is None:
+            self.years = list(pd.unique(self.annotations.tile_year))
+        else:
+            self.years = list(years)
+        self.individuals = list(pd.unique(self.annotations.individual))
+        by_ind = self.annotations.groupby("individual")
+        self.image_paths = {
+            ind: dict(zip(g.tile_year, g.image_path)) for ind, g in by_ind
+        }
+        if train:
+            self.labels = self.annotations.set_index("individual").label.to_dict()
+        else:
+            self.labels = None
+
+        self._preloaded = None
+        if config.get("preload_images"):
+            self._preloaded = np.stack(
+                [self._load_individual(ind) for ind in self.individuals]
+            )
+
+    def __len__(self):
+        return len(self.individuals)
+
+    def _load_individual(self, individual):
+        """[Y, S, S, C] float32; zeros for missing years; train-time flips."""
+        s, c = self.image_size, self.bands
+        images = np.zeros((len(self.years), s, s, c), np.float32)
+        paths = self.image_paths.get(individual, {})
+        for yi, year in enumerate(self.years):
+            path = paths.get(year)
+            if path is None:
+                continue
+            full = os.path.join(self.config["crop_dir"], path)
+            try:
+                img = load_image(full, image_size=s, augment=self.train)
+            except (ValueError, FileNotFoundError, OSError):
+                continue
+            if img.shape[-1] == c:
+                images[yi] = img
+            elif img.shape[-1] > c:
+                images[yi] = img[..., :c]
+            else:
+                images[yi, ..., : img.shape[-1]] = img
+        return images
+
+    def __getitem__(self, index):
+        individual = self.individuals[index]
+        if self._preloaded is not None:
+            images = self._preloaded[index]
+        else:
+            images = self._load_individual(individual)
+        if self.train:
+            return individual, images, int(self.labels[individual])
+        return individual, images
+
+
+class Loader:
+    """Batched iterator over a TreeDataset with optional static-shape padding.
+
+    Yields dict batches: {"individual": np.array[str], "HSI": [B, Y, S, S, C],
+    "label": [B] (train), "mask": [B] bool (True = real sample)}. When
+    `pad_to_batch` is set, the final partial batch is padded so jit sees one
+    shape; padded rows carry mask=False and are excluded downstream.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0, pad_to_batch=False,
+                 drop_last=False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.pad = pad_to_batch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        bs = self.batch_size
+        for start in range(0, len(idx), bs):
+            chunk = idx[start : start + bs]
+            if self.drop_last and len(chunk) < bs:
+                return
+            items = [self.ds[i] for i in chunk]
+            individuals = np.array([it[0] for it in items])
+            images = np.stack([it[1] for it in items])
+            batch = {"individual": individuals, "HSI": images}
+            if self.ds.train:
+                batch["label"] = np.array([it[2] for it in items], np.int32)
+            mask = np.ones(len(items), bool)
+            if self.pad and len(items) < bs:
+                padn = bs - len(items)
+                batch["HSI"] = np.concatenate(
+                    [batch["HSI"], np.zeros((padn,) + images.shape[1:], images.dtype)]
+                )
+                if "label" in batch:
+                    batch["label"] = np.concatenate([batch["label"], np.zeros(padn, np.int32)])
+                batch["individual"] = np.concatenate([individuals, np.array(["__pad__"] * padn)])
+                mask = np.concatenate([mask, np.zeros(padn, bool)])
+            batch["mask"] = mask
+            yield batch

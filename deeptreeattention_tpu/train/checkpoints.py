@@ -1,0 +1,64 @@
+"""Checkpoint save/load: params + batch_stats + optimizer/scheduler + meta.
+
+Equivalent capability to Lightning's save_checkpoint/load_from_checkpoint
+with save_hyperparameters (reference train.py:103,
+src/models/multi_stage.py:80): one directory per checkpoint containing a
+msgpack tree (flax.serialization) and a JSON meta blob (config, label dicts,
+years). The layout is a plain directory so the ETL artifact-resume concept
+(use_data_commit) and model checkpoints share one mechanism.
+"""
+import json
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, tree, meta=None):
+    """Write tree -> {path}/state.msgpack and meta -> {path}/meta.json.
+
+    `path` may also end in .pt/.ckpt — then a directory of that name is made
+    (keeps reference-style call sites valid).
+    """
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(_to_host(tree)))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(_jsonable(meta or {}), f, indent=1)
+    return path
+
+
+def load_checkpoint(path, target=None):
+    """Returns (tree, meta). With `target` the tree is restored into the
+    target's structure/dtypes; without, a raw nested dict is returned."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        data = f.read()
+    if target is not None:
+        tree = serialization.from_bytes(target, data)
+    else:
+        tree = serialization.msgpack_restore(data)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

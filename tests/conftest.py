@@ -11,14 +11,22 @@ with the live DeepForest download replaced by a deterministic stub detector.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize force-registers the TPU platform and resets
+# jax_platforms at interpreter boot; override it here so the suite runs on
+# the 8-device virtual CPU mesh (jax is not yet backend-initialized at
+# conftest import time, so this takes effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
