@@ -1,0 +1,1 @@
+from deeptreeattention_tpu.cluster.pool import start, LocalClient, Future

@@ -1,0 +1,181 @@
+"""TreeData: the end-to-end ETL orchestrator (data module).
+
+Capability parity with reference src/data.py:312-539 (TreeData
+LightningDataModule): raw NEON csv -> filter -> megaplot merge -> CHM filter
+-> crown detection -> per-year crops -> train/test split -> label dicts, with
+phase outputs written to the data dir so a rerun resumes from completed
+stages, and a `use_data_commit` fast path that loads a finished artifact.
+"""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.data import chm as chm_mod
+from deeptreeattention_tpu.data import crops as crops_mod
+from deeptreeattention_tpu.data import crowns as crowns_mod
+from deeptreeattention_tpu.data import megaplot as megaplot_mod
+from deeptreeattention_tpu.data.filter import filter_data
+from deeptreeattention_tpu.data.split import train_test_split
+from deeptreeattention_tpu.geo import vector
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class TreeData:
+    def __init__(self, csv_file, config, HSI=True, metadata=False, client=None,
+                 data_dir=None, comet_logger=None, debug=False):
+        self.csv_file = csv_file
+        self.config = config
+        self.client = client
+        self.comet_logger = comet_logger
+        self.debug = debug
+        self.data_dir = data_dir or config.get("data_dir", ".")
+        os.makedirs(os.path.join(self.data_dir, "boxes"), exist_ok=True)
+
+        if config.get("use_data_commit"):
+            self._load_artifact()
+        else:
+            self._regenerate()
+
+    # ------------------------------------------------------------------
+    def _log_param(self, name, value):
+        if self.comet_logger is not None:
+            exp = getattr(self.comet_logger, "experiment", self.comet_logger)
+            exp.log_parameter(name, value)
+
+    def _regenerate(self):
+        cfg = self.config
+        if cfg.get("replace", True):
+            df = filter_data(self.csv_file, config=cfg)
+
+            IFAS = None
+            if cfg.get("megaplot_dir"):
+                mega = megaplot_mod.load(directory=cfg["megaplot_dir"], config=cfg, site="OSBS")
+                mega.loc[mega.taxonID == "MAGR4", "taxonID"] = "MAGNO"
+                if "filename" in mega.columns:
+                    is_ifas = mega.filename.astype(str).str.contains("IFAS")
+                    IFAS = mega[is_ifas].copy()
+                    if not IFAS.empty:
+                        IFAS["geometry"] = [g.envelope for g in IFAS.geometry]
+                        IFAS["box_id"] = list(range(len(IFAS)))
+                        IFAS = IFAS[
+                            ["geometry", "taxonID", "individual", "plotID", "siteID", "box_id"]
+                        ]
+                    mega = mega[~is_ifas]
+                df = pd.concat([mega, df])
+
+            if not self.debug:
+                # cap contributions from non-OSBS sites per species
+                osbs = df[df.siteID == "OSBS"]
+                other = df[df.siteID != "OSBS"]
+                other = other[other.taxonID.isin(osbs.taxonID.unique())]
+                other = other.groupby("taxonID", sort=False, group_keys=False).head(
+                    cfg["samples_from_other_sites"]
+                )
+                df = pd.concat([osbs, other])
+
+            self._log_param("Species before CHM filter", df.taxonID.nunique())
+            self._log_param("Samples before CHM filter", len(df))
+
+            df = chm_mod.filter_CHM(
+                df, CHM_pool=cfg["CHM_pool"], min_CHM_height=cfg["min_CHM_height"],
+                max_CHM_diff=cfg["max_CHM_diff"], CHM_height_limit=cfg["CHM_height_limit"],
+            )
+            self.canopy_points = vector.GeoDataFrame(df)
+            self.canopy_points.to_file(os.path.join(self.data_dir, "canopy_points.shp"))
+            self._log_param("Species after CHM filter", df.taxonID.nunique())
+            self._log_param("Samples after CHM filter", len(df))
+
+            self.crowns = crowns_mod.points_to_crowns(
+                field_data=os.path.join(self.data_dir, "canopy_points.shp"),
+                rgb_dir=cfg["rgb_sensor_pool"],
+                savedir=os.path.join(self.data_dir, "boxes"),
+                raw_box_savedir=os.path.join(self.data_dir, "boxes"),
+                client=self.client,
+            )
+            if IFAS is not None and not IFAS.empty:
+                self.crowns = vector.GeoDataFrame(pd.concat([self.crowns, IFAS]))
+            self.crowns.to_file(os.path.join(self.data_dir, "crowns.shp"))
+            self._log_param("Species after crown prediction", self.crowns.taxonID.nunique())
+            self._log_param("Samples after crown prediction", len(self.crowns))
+        else:
+            self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
+            self.canopy_points = vector.read_file(
+                os.path.join(self.data_dir, "canopy_points.shp")
+            )
+
+        annotations = crops_mod.generate_crops(
+            self.crowns,
+            savedir=self.config["crop_dir"],
+            sensor_glob=self.config["HSI_sensor_pool"],
+            convert_h5=self.config["convert_h5"],
+            rgb_glob=self.config["rgb_sensor_pool"],
+            HSI_tif_dir=self.config.get("HSI_tif_dir"),
+            client=self.client,
+            replace=self.config.get("replace", True),
+        )
+        annotations.to_csv(os.path.join(self.data_dir, "annotations.csv"))
+        self._log_param("Species after crop generation", annotations.taxonID.nunique())
+        self._log_param("Samples after crop generation", len(annotations))
+
+        if self.config.get("new_train_test_split", True):
+            self.train, self.test = train_test_split(
+                annotations, config=self.config, client=self.client
+            )
+        else:
+            prev_train = pd.read_csv(os.path.join(self.data_dir, "train.csv"))
+            prev_test = pd.read_csv(os.path.join(self.data_dir, "test.csv"))
+            self.train = annotations[annotations.individual.isin(prev_train.individual)]
+            self.test = annotations[annotations.individual.isin(prev_test.individual)]
+
+        # novel species: crops that made it through ETL but aren't in either split
+        used = np.concatenate([self.train.individual.unique(), self.test.individual.unique()])
+        novel = annotations[~annotations.individual.isin(used)]
+        split_taxa = np.concatenate([self.train.taxonID.unique(), self.test.taxonID.unique()])
+        self.novel = novel[~novel.taxonID.isin(split_taxa)]
+        self.novel.to_csv(os.path.join(self.data_dir, "novel_species.csv"))
+
+        self._finalize_labels()
+        self.train.to_csv(os.path.join(self.data_dir, "train.csv"), index=False)
+        self.test.to_csv(os.path.join(self.data_dir, "test.csv"), index=False)
+        log.info(
+            "train: %d records / %d species / %d sites; test: %d records / %d species",
+            len(self.train), self.train.label.nunique(), self.train.site.nunique(),
+            len(self.test), self.test.label.nunique(),
+        )
+
+    def _load_artifact(self):
+        log.info("Loading previous data commit from %s", self.data_dir)
+        self.train = pd.read_csv(os.path.join(self.data_dir, "train.csv"))
+        self.test = pd.read_csv(os.path.join(self.data_dir, "test.csv"))
+        for df in (self.train, self.test):
+            if "individual" not in df.columns and "individualID" in df.columns:
+                df["individual"] = df["individualID"]
+        self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
+        self.canopy_points = vector.read_file(os.path.join(self.data_dir, "canopy_points.shp"))
+        self._finalize_labels()
+
+    def _finalize_labels(self):
+        species = np.unique(
+            np.concatenate([self.train.taxonID.unique(), self.test.taxonID.unique()])
+        )
+        species = np.sort(species)
+        self.num_classes = len(species)
+        self.species_label_dict = {t: i for i, t in enumerate(species)}
+        self.label_to_taxonID = {v: k for k, v in self.species_label_dict.items()}
+
+        sites = np.unique(
+            np.concatenate([self.train.siteID.unique(), self.test.siteID.unique()])
+        )
+        self.site_label_dict = {s: i for i, s in enumerate(sites)}
+        self.num_sites = len(self.site_label_dict)
+
+        self.train = self.train.copy()
+        self.test = self.test.copy()
+        self.train["label"] = self.train.taxonID.map(self.species_label_dict)
+        self.train["site"] = self.train.siteID.map(self.site_label_dict)
+        self.test["label"] = self.test.taxonID.map(self.species_label_dict)
+        self.test["site"] = self.test.siteID.map(self.site_label_dict)

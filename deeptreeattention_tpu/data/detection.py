@@ -1,0 +1,137 @@
+"""Crown detection on RGB tiles: pluggable detector interface.
+
+The reference delegates crown detection to DeepForest's released RetinaNet
+(reference src/generate.py:17-60, src/predict.py:112-138), downloaded at
+runtime. This framework defines a detector protocol plus a deterministic
+classical detector so the pipeline is self-contained and testable offline:
+
+  * `Detector.predict_image(image)`   -> boxes df (pixel coords)
+  * `Detector.predict_tile(path)`     -> boxes df for a whole tile
+
+`LocalMaximaDetector` finds crown candidates as local maxima of a smoothed
+vegetation-brightness surface and grows boxes to the surrounding bright
+region — deterministic, weight-free, and adequate for fixtures and fallback.
+A learned JAX detector can implement the same protocol and be selected via
+config["crown_detector"] (checkpoint path) — the extension point for porting
+DeepForest weights.
+"""
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.geo import raster
+
+
+class Detector:
+    label = "Tree"
+
+    def predict_image(self, image):
+        raise NotImplementedError
+
+    def predict_tile(self, path, patch_size=400, overlap=0):
+        """Tile-scale prediction by windowed sweeps (pixel coordinates)."""
+        with raster.open_raster(path) as src:
+            img = src.read()
+        img = np.moveaxis(img, 0, -1)
+        h, w = img.shape[:2]
+        frames = []
+        step = patch_size - overlap
+        for r0 in range(0, h, step):
+            for c0 in range(0, w, step):
+                patch = img[r0 : r0 + patch_size, c0 : c0 + patch_size]
+                boxes = self.predict_image(patch)
+                if boxes is None or boxes.empty:
+                    continue
+                boxes = boxes.copy()
+                boxes["xmin"] += c0
+                boxes["xmax"] += c0
+                boxes["ymin"] += r0
+                boxes["ymax"] += r0
+                frames.append(boxes)
+        if not frames:
+            return None
+        out = pd.concat(frames, ignore_index=True)
+        out["image_path"] = path
+        return out
+
+
+class LocalMaximaDetector(Detector):
+    """Deterministic classical crown detector (no learned weights).
+
+    brightness -> gaussian smooth -> greedy non-max local peaks -> box grown
+    to where response falls below `edge_fraction` of the peak.
+    """
+
+    def __init__(self, sigma=2.0, min_distance=4, min_size=2, max_size=12,
+                 threshold=None, edge_fraction=0.6, max_crowns=400):
+        self.sigma = sigma
+        self.min_distance = min_distance
+        self.min_size = min_size
+        self.max_size = max_size
+        self.threshold = threshold
+        self.edge_fraction = edge_fraction
+        self.max_crowns = max_crowns
+
+    def predict_image(self, image):
+        from scipy import ndimage
+
+        if image is None or image.size == 0:
+            return None
+        img = np.asarray(image, np.float32)
+        if img.ndim == 3:
+            surface = img.mean(axis=-1)
+        else:
+            surface = img
+        smoothed = ndimage.gaussian_filter(surface, self.sigma)
+        thr = self.threshold
+        if thr is None:
+            thr = smoothed.mean()
+
+        # peaks: equal to local max within min_distance and above threshold
+        footprint = np.ones((2 * self.min_distance + 1,) * 2)
+        local_max = ndimage.maximum_filter(smoothed, footprint=footprint)
+        peaks = np.argwhere((smoothed == local_max) & (smoothed > thr))
+        if peaks.size == 0:
+            return None
+        # strongest first, cap count
+        order = np.argsort(-smoothed[peaks[:, 0], peaks[:, 1]])
+        peaks = peaks[order][: self.max_crowns]
+
+        h, w = smoothed.shape
+        rows = []
+        for r, c in peaks:
+            peak_val = smoothed[r, c]
+            cutoff = peak_val * self.edge_fraction
+
+            def grow(dr, dc):
+                rr, cc, n = r, c, 0
+                while (
+                    n < self.max_size
+                    and 0 <= rr + dr < h
+                    and 0 <= cc + dc < w
+                    and smoothed[rr + dr, cc + dc] >= cutoff
+                ):
+                    rr += dr
+                    cc += dc
+                    n += 1
+                return max(n, self.min_size)
+
+            up, down = grow(-1, 0), grow(1, 0)
+            left, right = grow(0, -1), grow(0, 1)
+            rows.append(
+                {
+                    "xmin": float(max(c - left, 0)),
+                    "ymin": float(max(r - up, 0)),
+                    "xmax": float(min(c + right, w - 1)),
+                    "ymax": float(min(r + down, h - 1)),
+                    "score": float(min(peak_val / (smoothed.max() + 1e-9), 1.0)),
+                    "label": self.label,
+                }
+            )
+        boxes = pd.DataFrame(rows)
+        return boxes[(boxes.xmax > boxes.xmin) & (boxes.ymax > boxes.ymin)]
+
+
+def load_detector(config=None):
+    """Detector factory. config["crown_detector"] may name a checkpoint of a
+    learned detector (future); default is the deterministic classical one."""
+    return LocalMaximaDetector()

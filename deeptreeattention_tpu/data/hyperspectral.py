@@ -1,0 +1,112 @@
+"""NEON reflectance .h5 -> GeoTIFF conversion.
+
+Capability parity with reference src/Hyperspectral.py:6-219: read the NEON
+AOP reflectance product (h5py), drop the water-absorption bands
+(426 -> 369: indices 419:425, 283:315, 192:210), clip to an RGB tile's
+extent, and write a georeferenced tif with our codec. Band selection is a
+single fancy-index (no per-band Python loop), and the output is tiled so the
+downstream 11x11 window reads stay cheap.
+"""
+import os
+
+import numpy as np
+
+from deeptreeattention_tpu.geo import raster
+from deeptreeattention_tpu.geo.affine import from_origin
+
+# indices removed from the 426-band product (water absorption + detector edge)
+WATER_ABSORPTION_WINDOWS = [(419, 425), (283, 315), (192, 210)]
+
+
+def no_water_band_indexes(total=426):
+    keep = np.ones(total, bool)
+    for lo, hi in WATER_ABSORPTION_WINDOWS:
+        keep[lo:hi] = False
+    return np.where(keep)[0]
+
+
+def h5refl2array(refl_filename):
+    """Read reflectance cube + metadata from a NEON AOP h5 file."""
+    import h5py
+
+    with h5py.File(refl_filename, "r") as f:
+        sitename = list(f.keys())[0]
+        refl_group = f[sitename]["Reflectance"]
+        data = refl_group["Reflectance_Data"]
+        arr = data[:]
+        meta = {
+            "noDataVal": float(data.attrs["Data_Ignore_Value"]),
+            "scaleFactor": float(data.attrs["Scale_Factor"]),
+            "shape": arr.shape,
+            "wavelength": refl_group["Metadata"]["Spectral_Data"]["Wavelength"][()],
+        }
+        epsg = refl_group["Metadata"]["Coordinate_System"]["EPSG Code"][()]
+        meta["epsg"] = int(str(epsg).strip("b'\""))
+        map_info = str(refl_group["Metadata"]["Coordinate_System"]["Map_Info"][()])
+        parts = map_info.split(",")
+        meta["res"] = {"pixelWidth": float(parts[5]), "pixelHeight": float(parts[6])}
+        x_min = float(parts[3])
+        y_max = float(parts[4])
+        meta["ext_dict"] = {
+            "xMin": x_min,
+            "xMax": x_min + arr.shape[1] * meta["res"]["pixelWidth"],
+            "yMin": y_max - arr.shape[0] * meta["res"]["pixelHeight"],
+            "yMax": y_max,
+        }
+        meta["extent"] = (
+            meta["ext_dict"]["xMin"], meta["ext_dict"]["xMax"],
+            meta["ext_dict"]["yMin"], meta["ext_dict"]["yMax"],
+        )
+    return meta, arr
+
+
+def generate_raster(h5_path, save_dir, rgb_filename=None, bands="no_water",
+                    bounds=None, suffix=None):
+    """Convert one h5 reflectance tile to a (optionally clipped) GeoTIFF.
+
+    Returns the written tif basename."""
+    suffix = "_{}".format(suffix) if suffix else ""
+    meta, refl = h5refl2array(h5_path)
+
+    if bands == "no_water":
+        band_idx = no_water_band_indexes(refl.shape[2])
+    elif bands == "false_color":
+        band_idx = np.array([16, 54, 112])
+    elif bands == "all":
+        band_idx = np.arange(refl.shape[2])
+    else:
+        raise ValueError("no band combination specified")
+
+    ext = meta["ext_dict"]
+    if bounds:
+        clip = {
+            "xMin": bounds.left, "xMax": bounds.right,
+            "yMin": bounds.bottom, "yMax": bounds.top,
+        }
+    else:
+        clip = dict(ext)
+
+    xs = meta["res"]["pixelWidth"]
+    ys = meta["res"]["pixelHeight"]
+    c0 = int(round((clip["xMin"] - ext["xMin"]) / xs))
+    c1 = int(round((clip["xMax"] - ext["xMin"]) / xs))
+    r0 = int(round((ext["yMax"] - clip["yMax"]) / ys))
+    r1 = int(round((ext["yMax"] - clip["yMin"]) / ys))
+    r0, c0 = max(r0, 0), max(c0, 0)
+
+    sub = refl[r0:r1, c0:c1][:, :, band_idx]  # [H, W, B]
+    arr = np.ascontiguousarray(np.moveaxis(sub, -1, 0)).astype(np.int16)
+
+    kind = "false_color" if bands == "false_color" else "hyperspectral"
+    stem = os.path.splitext(os.path.basename(rgb_filename or h5_path))[0]
+    tilename = "{}_{}{}.tif".format(stem, kind, suffix)
+
+    transform = from_origin(
+        ext["xMin"] + c0 * xs, ext["yMax"] - r0 * ys, xs, ys
+    )
+    raster.write_raster(
+        os.path.join(save_dir, tilename), arr, transform=transform,
+        crs=meta["epsg"], tiled=True, tile_size=128,
+        nodata=meta["noDataVal"],
+    )
+    return tilename

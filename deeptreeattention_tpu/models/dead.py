@@ -1,0 +1,237 @@
+"""Alive/Dead crown classifier on RGB crops.
+
+Capability parity with reference src/models/dead.py:16-192 (AliveDead,
+get_transform, utm_dataset, dataset_confusion): a ResNet 2-class head over
+ImageNet-normalized 224x224 RGB, folder-of-classes training data, a
+UTM-window dataset reading crown RGB straight from the tile, and a confusion
+helper. Preprocessing is jnp and fused into the forward under jit.
+"""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeptreeattention_tpu.geo import raster
+from deeptreeattention_tpu.models.resnet import ResNet
+from deeptreeattention_tpu.ops.preprocess import nearest_resize
+from deeptreeattention_tpu.train import checkpoints, metrics as M, optim, steps
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+CLASSES = ["Alive", "Dead"]
+
+
+def rgb_transform(image, size=224):
+    """uint8 HWC -> normalized float32 [size, size, 3] (NEAREST resize keeps
+    the chain bit-exact between host and device paths)."""
+    x = jnp.asarray(image, jnp.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    if x.shape[0] != size or x.shape[1] != size:
+        x = nearest_resize(x, size)
+    return x
+
+
+class FolderDataset:
+    """ImageFolder equivalent: class-per-subdirectory of PNG/JPG crops."""
+
+    train = True
+
+    def __init__(self, root, augment=False, size=224, classes=CLASSES):
+        self.samples = []
+        self.augment = augment
+        self.size = size
+        self.classes = classes
+        for label, cls in enumerate(classes):
+            for path in sorted(glob.glob(os.path.join(root, cls, "*"))):
+                self.samples.append((path, label))
+        self.rng = np.random.RandomState(0)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index):
+        from PIL import Image
+
+        path, label = self.samples[index]
+        img = np.asarray(Image.open(path).convert("RGB"))
+        x = np.asarray(rgb_transform(img, self.size))
+        if self.augment and self.rng.rand() < 0.5:
+            x = x[:, ::-1, :]
+        return os.path.basename(path), x, label
+
+
+class UTMDataset:
+    """Crown RGB windows read straight from the tile (reference
+    src/models/dead.py:153-182): crown bounds +1 m buffer -> 224x224."""
+
+    train = False
+
+    def __init__(self, crowns, config=None, size=224):
+        self.crowns = crowns.reset_index(drop=True)
+        self.size = size
+        self._srcs = {}
+
+    def __len__(self):
+        return len(self.crowns)
+
+    def _src(self, path):
+        if path not in self._srcs:
+            self._srcs[path] = raster.open_raster(path)
+        return self._srcs[path]
+
+    def __getitem__(self, index):
+        row = self.crowns.iloc[index]
+        left, bottom, right, top = row["geometry"].bounds
+        src = self._src(row["RGB_tile"])
+        img = src.read_bounds(left - 1, bottom - 1, right + 1, top + 1, boundless=True)
+        img = np.moveaxis(img, 0, -1)
+        return row.get("individual", str(index)), np.asarray(rgb_transform(img, self.size))
+
+
+class AliveDead:
+    """Training module: ResNet(2) + Adam + plateau, sigmoid outputs like the
+    reference's forward (sigmoid then CE — kept for score compatibility)."""
+
+    def __init__(self, config, depth=50, seed=0):
+        self.config = config
+        cfg = config["dead"]
+        self.model = ResNet(num_classes=2, depth=depth)
+        key = jax.random.PRNGKey(seed)
+        self.variables = dict(
+            self.model.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+        )
+        self.optimizer = optim.adam_with_plateau(cfg["lr"])
+        self.opt_state = self.optimizer.init(self.variables["params"])
+        self.scheduler = optim.ReduceLROnPlateau(cfg["lr"], factor=0.5, patience=10)
+        self.metrics = M.MetricCollection(2)
+
+        model = self.model
+
+        def apply_sigmoid(variables, x, train=False, mutable=None):
+            if mutable:
+                logits, mut = model.apply(variables, x, train=train, mutable=mutable)
+                return jax.nn.sigmoid(logits), mut
+            return jax.nn.sigmoid(model.apply(variables, x, train=train))
+
+        self._train_step = steps.make_train_step(apply_sigmoid, self.optimizer)
+        self._eval_step = steps.make_eval_step(apply_sigmoid)
+        # prediction-time quirk preserved from the reference
+        # (src/predict.py:156): scores computed with batch statistics
+        self._eval_step_batch_stats = steps.make_eval_step(
+            lambda v, x, train=False: apply_sigmoid(v, x, train=False)
+        )
+
+    # -- data ------------------------------------------------------------
+    def _folder(self, which, augment):
+        root = self.config["dead"]["{}_dir".format(which)]
+        return FolderDataset(root, augment=augment)
+
+    def _batches(self, ds, batch_size, shuffle=False, seed=0):
+        idx = np.arange(len(ds))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(idx)
+        for start in range(0, len(idx), batch_size):
+            chunk = [ds[i] for i in idx[start : start + batch_size]]
+            names = [c[0] for c in chunk]
+            xs = np.stack([c[1] for c in chunk])
+            if len(chunk[0]) == 3:
+                ys = np.array([c[2] for c in chunk], np.int32)
+                yield names, xs, ys
+            else:
+                yield names, xs
+
+    def fit(self, epochs=None, experiment=None, fast_dev_run=False):
+        cfg = self.config["dead"]
+        epochs = epochs or cfg["epochs"]
+        if fast_dev_run:
+            epochs = 1
+        train_ds = self._folder("train", augment=True)
+        val_ds = self._folder("test", augment=False)
+        history = []
+        for epoch in range(epochs):
+            losses = []
+            for bi, (names, xs, ys) in enumerate(
+                self._batches(train_ds, cfg["batch_size"], shuffle=True, seed=epoch)
+            ):
+                if fast_dev_run and bi > 0:
+                    break
+                mask = jnp.ones(len(ys))
+                params, stats, self.opt_state, loss = self._train_step(
+                    self.variables["params"], self.variables.get("batch_stats", {}),
+                    self.opt_state, jnp.asarray(xs), jnp.asarray(ys), mask,
+                    jnp.ones(2),
+                )
+                self.variables = {"params": params, "batch_stats": stats}
+                losses.append(float(loss))
+            val = self.validate(val_ds)
+            new_lr = self.scheduler.step(val["val_loss"])
+            self.opt_state = optim.set_learning_rate(self.opt_state, new_lr)
+            rec = {"epoch": epoch, "train_loss": float(np.mean(losses)), **val}
+            if experiment:
+                experiment.log_metrics(rec, epoch=epoch)
+            history.append(rec)
+            log.info("dead epoch %d: %s", epoch, rec)
+        return history
+
+    def validate(self, ds):
+        cfg = self.config["dead"]
+        self.metrics.reset()
+        losses = []
+        preds, targets = [], []
+        for names, xs, ys in self._batches(ds, cfg["batch_size"]):
+            probs = np.asarray(self.predict_batch(xs))
+            self.metrics.update(probs, ys)
+            preds.append(np.argmax(probs, 1))
+            targets.append(ys)
+            p = np.clip(probs, 1e-8, 1.0)
+            losses.append(float(np.mean(-np.log(p[np.arange(len(ys)), ys]))))
+        out = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
+        out.update(self.metrics.compute())
+        if preds:
+            acc = M.per_class_accuracy(np.concatenate(preds), np.concatenate(targets), 2)
+            out["Alive Accuracy"] = float(acc[0])
+            out["Dead Accuracy"] = float(acc[1])
+        return out
+
+    # -- inference ---------------------------------------------------------
+    def predict_batch(self, xs, use_batch_stats=False):
+        probs = self._eval_step(
+            self.variables["params"], self.variables.get("batch_stats", {}), jnp.asarray(xs)
+        )
+        return jax.nn.softmax(jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1)
+
+    def predict_dataset(self, ds, batch_size=None):
+        batch_size = batch_size or self.config["dead"]["batch_size"]
+        outs = []
+        for batch in self._batches(ds, batch_size):
+            xs = batch[1]
+            outs.append(np.asarray(self.predict_batch(xs)))
+        return np.concatenate(outs) if outs else np.zeros((0, 2))
+
+    def dataset_confusion(self, ds, batch_size=8):
+        true, pred = [], []
+        for names, xs, ys in self._batches(ds, batch_size):
+            probs = np.asarray(self.predict_batch(xs))
+            pred.append(probs)
+            true.append(np.eye(2)[ys])
+        return np.concatenate(true), np.concatenate(pred)
+
+    # -- checkpointing ------------------------------------------------------
+    def save_checkpoint(self, path):
+        return checkpoints.save_checkpoint(
+            path, self.variables, {"scheduler_state": self.scheduler.state_dict()}
+        )
+
+    @classmethod
+    def load_from_checkpoint(cls, path, config, depth=50):
+        obj = cls(config, depth=depth)
+        tree, meta = checkpoints.load_checkpoint(path)
+        obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
+        if meta.get("scheduler_state"):
+            obj.scheduler.load_state_dict(meta["scheduler_state"])
+        return obj

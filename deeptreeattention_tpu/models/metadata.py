@@ -1,0 +1,153 @@
+"""Site-metadata fusion models.
+
+Capability parity with reference src/models/metadata.py:9-89: a site
+embedding MLP (16-d embedding + BN + dropout 0.7 + linear + relu), a late
+fusion of HSI (Hang2020) and metadata softmax scores, and a MetadataModel
+training module that feeds both inputs.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeptreeattention_tpu.models.hang2020 import Hang2020
+from deeptreeattention_tpu.train import treemodel, steps
+
+
+class Metadata(nn.Module):
+    sites: int
+    classes: int
+
+    @nn.compact
+    def __call__(self, site_ids, train=False):
+        x = nn.Embed(self.sites, 16, name="embedding")(site_ids)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="batch_norm"
+        )(x)
+        x = nn.Dropout(0.7, deterministic=not train)(x)
+        x = nn.Dense(self.classes, name="mlp")(x)
+        return nn.relu(x)
+
+
+class MetadataSensorFusion(nn.Module):
+    """Late fusion: concat(metadata scores, HSI scores) -> linear -> relu."""
+
+    bands: int
+    sites: int
+    classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, site_ids, train=False):
+        meta_scores = Metadata(self.sites, self.classes, name="metadata_model")(
+            site_ids, train=train
+        )
+        sensor_scores = Hang2020(self.bands, self.classes, self.dtype, name="sensor_model")(
+            images, train=train
+        )
+        joint = jnp.concatenate([meta_scores, sensor_scores], axis=1)
+        joint = nn.Dense(self.classes, name="fc1")(joint)
+        return nn.relu(joint)
+
+
+class MetadataModel(treemodel.TreeModel):
+    """TreeModel variant with (HSI, site) two-input batches."""
+
+    def __init__(self, model, classes, label_dict, config, sites=None, seed=0):
+        self.config = config
+        self.classes = classes
+        self.model = model
+        self.label_to_index = label_dict
+        self.index_to_label = {v: k for k, v in label_dict.items()}
+        self.key = jax.random.PRNGKey(seed)
+
+        cfg = config
+        sample_img = jnp.zeros(
+            (1, cfg["image_size"], cfg["image_size"], cfg["bands"]), jnp.float32
+        )
+        sample_site = jnp.zeros((1,), jnp.int32)
+        self.key, sub, drop = jax.random.split(self.key, 3)
+        self.variables = dict(
+            model.init({"params": sub, "dropout": drop}, sample_img, sample_site, train=False)
+        )
+
+        from deeptreeattention_tpu.train import optim, metrics as M
+
+        lr = cfg.get("lr", 1e-4)
+        self.optimizer = optim.adam_with_plateau(lr)
+        self.opt_state = self.optimizer.init(self.variables["params"])
+        self.scheduler = optim.ReduceLROnPlateau(lr, min_lr=1e-7)
+        self.loss_weight = jnp.ones(classes, jnp.float32)
+        self.metrics = M.MetricCollection(classes, top_k=cfg.get("top_k"))
+        self._build_steps()
+
+    def _build_steps(self):
+        model = self.model
+        optimizer = self.optimizer
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, images, sites, labels, mask, weights, rng):
+            def loss_fn(p):
+                logits, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images, sites, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng},
+                )
+                return steps.weighted_cross_entropy(logits, labels, weights, mask), mutated[
+                    "batch_stats"
+                ]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            import optax
+
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), stats, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, images, sites):
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, sites, train=False
+            )
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._fusion_train_step = train_step
+        self._fusion_eval_step = eval_step
+
+    def fit(self, train_ds, val_ds=None, epochs=None, experiment=None, fast_dev_run=False):
+        from deeptreeattention_tpu.data.dataset import Loader
+
+        cfg = self.config
+        epochs = epochs or cfg["epochs"]
+        if fast_dev_run or cfg.get("fast_dev_run"):
+            epochs = 1
+        history = []
+        for epoch in range(epochs):
+            loader = Loader(train_ds, cfg["batch_size"], shuffle=True, seed=epoch,
+                            pad_to_batch=cfg.get("pad_batches", True))
+            losses = []
+            for bi, batch in enumerate(loader):
+                if fast_dev_run and bi > 0:
+                    break
+                self.key, rng = jax.random.split(self.key)
+                images = jnp.asarray(batch["HSI"])
+                if images.ndim == 5:  # year-stacked -> first year for fusion model
+                    images = images[:, 0]
+                params, stats, self.opt_state, loss = self._fusion_train_step(
+                    self.variables["params"], self.variables.get("batch_stats", {}),
+                    self.opt_state, images, jnp.asarray(batch["site"]),
+                    jnp.asarray(batch["label"]), jnp.asarray(batch["mask"]),
+                    self.loss_weight, rng,
+                )
+                self.variables = {"params": params, "batch_stats": stats}
+                losses.append(float(loss))
+            history.append({"epoch": epoch, "train_loss": float(np.mean(losses))})
+        return history
+
+    def predict(self, inputs):
+        images = jnp.asarray(inputs["HSI"])
+        if images.ndim == 5:
+            images = images[:, 0]
+        return self._fusion_eval_step(
+            self.variables["params"], self.variables.get("batch_stats", {}),
+            images, jnp.asarray(inputs["site"]),
+        )

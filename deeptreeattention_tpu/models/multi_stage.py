@@ -1,0 +1,551 @@
+"""MultiStage: 5-level hierarchical species classifier (the flagship model).
+
+Capability parity with reference src/models/multi_stage.py:17-485, TPU-first:
+each level is a vmapped multi-year LearnedEnsemble trained by its own jit
+step (one compiled program per level — class counts differ), with optax Adam
++ host-side plateau scheduling per level, inverse-frequency loss weights, and
+static-shape padded batches. The taxonomy levels:
+
+  L0  PIPA2 vs OTHER                (binary gate for the dominant pine)
+  L1  CONIFER vs BROADLEAF          (remaining stems)
+  L2  broadleaf species + OAK       (oaks collapsed)
+  L3  evergreen species             (PICL/PIEL/PITA)
+  L4  oak species                   (QU*)
+
+Per-level subsampling ceilings follow the reference's dataset builders
+(reference src/models/multi_stage.py:82-219); the decision-tree ensemble and
+evaluation tables are host-side pandas, as in the reference.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
+from deeptreeattention_tpu.models.year import LearnedEnsemble
+from deeptreeattention_tpu.train import checkpoints, metrics as M, optim, steps
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+CONIFERS = ["PICL", "PIEL", "PITA"]
+PINE_GATE = "PIPA2"
+
+
+class MultiStage:
+    def __init__(self, train_df, test_df, crowns, config, train_mode=True, seed=0):
+        self.config = config
+        self.crowns = crowns
+        self.rng = np.random.RandomState(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.train_df = train_df.copy() if train_df is not None else None
+        self.test_df = test_df.copy() if test_df is not None else None
+        for df in (self.train_df, self.test_df):
+            if df is not None and "individual" not in df.columns and "individualID" in df.columns:
+                df["individual"] = df["individualID"]
+
+        self.years = list(pd.unique(self.train_df.tile_year)) if self.train_df is not None else []
+        self.species_label_dict = (
+            self.train_df[["taxonID", "label"]]
+            .drop_duplicates()
+            .set_index("taxonID")
+            .to_dict()["label"]
+        )
+        self.index_to_label = {v: k for k, v in self.species_label_dict.items()}
+        self.level_label_dicts = []
+        self.label_to_taxonIDs = []
+        self.level_names = ["pine_gate", "conifer_broadleaf", "broadleaf", "evergreen", "oak"]
+
+        if train_mode:
+            self.train_datasets, self.test_datasets = self.create_datasets()
+            self.levels = len(self.train_datasets)
+            self.classes = len(self.train_df.label.unique())
+            self._build_models()
+
+    # ------------------------------------------------------------------
+    # level dataset construction
+    # ------------------------------------------------------------------
+    def _level_frames(self, df, train):
+        """Return list of 5 level dataframes with level-local labels."""
+        cfg = self.config
+        frames = []
+
+        # L0: PIPA2 vs OTHER (ceiling on OTHER individuals when training)
+        d0 = df.copy()
+        if train:
+            pine = d0[d0.taxonID == PINE_GATE]
+            other = d0[d0.taxonID != PINE_GATE]
+            keep_ids = (
+                other.groupby("individual", sort=False)
+                .head(1)
+                .groupby("taxonID", sort=False)
+                .head(cfg["other_sampling_ceiling"])
+                .individual
+            )
+            other = other[other.individual.isin(keep_ids)]
+            d0 = pd.concat([pine, other])
+        d0.loc[d0.taxonID != PINE_GATE, "taxonID"] = "OTHER"
+        d0["label"] = d0.taxonID.map(self.level_label_dicts[0])
+        frames.append(d0)
+
+        # L1: conifer vs broadleaf among non-PIPA2
+        d1 = df[df.taxonID != PINE_GATE].copy()
+        is_conifer = d1.taxonID.isin(CONIFERS)
+        if train:
+            conifer_ids = d1[is_conifer].individual
+            per_species_cap = max(int(math.ceil(len(conifer_ids) / 11)), 1)
+            broadleaf = d1[~is_conifer]
+            keep = (
+                broadleaf.groupby("label", sort=False, group_keys=False)
+                .apply(
+                    lambda g: g.sample(frac=1, random_state=self.rng)
+                    .groupby("individual", sort=False)
+                    .head(1)
+                    .head(per_species_cap)
+                )
+                .individual
+            )
+            ids = np.concatenate([np.asarray(keep), np.asarray(conifer_ids)])
+            d1 = d1[d1.individual.isin(ids)].reset_index(drop=True)
+            is_conifer = d1.taxonID.isin(CONIFERS)
+        d1.loc[~is_conifer, "taxonID"] = "BROADLEAF"
+        d1.loc[is_conifer, "taxonID"] = "CONIFER"
+        d1["label"] = d1.taxonID.map(self.level_label_dicts[1])
+        frames.append(d1)
+
+        # L2: broadleaf species with oaks collapsed
+        d2 = df[~df.taxonID.isin(CONIFERS + [PINE_GATE])].copy()
+        is_oak = d2.taxonID.str.contains("QU")
+        if train:
+            non_oak_ids = d2[~is_oak].individual
+            oak_cap = max(int(len(non_oak_ids) / 5), 1)
+            oak_keep = (
+                d2[is_oak]
+                .groupby("label", sort=False, group_keys=False)
+                .apply(lambda g: g.sample(frac=1, random_state=self.rng).head(oak_cap))
+                .individual
+            )
+            ids = np.concatenate([np.asarray(oak_keep), np.asarray(non_oak_ids)])
+            d2 = d2[d2.individual.isin(ids)].reset_index(drop=True)
+            is_oak = d2.taxonID.str.contains("QU")
+        d2.loc[is_oak, "taxonID"] = "OAK"
+        d2["label"] = d2.taxonID.map(self.level_label_dicts[2])
+        frames.append(d2)
+
+        # L3: evergreen species
+        d3 = df[df.taxonID.isin(CONIFERS)].copy().reset_index(drop=True)
+        if train:
+            d3 = (
+                d3.groupby("taxonID", sort=False, group_keys=False)
+                .head(cfg["evergreen_ceiling"])
+                .reset_index(drop=True)
+            )
+        d3["label"] = d3.taxonID.map(self.level_label_dicts[3])
+        frames.append(d3)
+
+        # L4: oak species
+        d4 = df[df.taxonID.str.contains("QU")].copy().reset_index(drop=True)
+        if train:
+            keep = (
+                d4.groupby("taxonID", sort=False, group_keys=False)
+                .apply(
+                    lambda g: g.sample(frac=1, random_state=self.rng)
+                    .groupby("individual", sort=False)
+                    .head(1)
+                    .head(cfg["oaks_sampling_ceiling"])
+                )
+                .individual
+            )
+            d4 = d4[d4.individual.isin(keep)].reset_index(drop=True)
+        d4["label"] = d4.taxonID.map(self.level_label_dicts[4])
+        frames.append(d4)
+        return frames
+
+    def create_datasets(self):
+        species = list(self.species_label_dict.keys())
+        broadleaf = {
+            t: i
+            for i, t in enumerate(
+                [s for s in species if s not in CONIFERS + [PINE_GATE] and "QU" not in s]
+            )
+        }
+        broadleaf["OAK"] = len(broadleaf)
+        evergreen = {t: i for i, t in enumerate([s for s in species if s in CONIFERS])}
+        oak = {t: i for i, t in enumerate([s for s in species if "QU" in s])}
+        self.level_label_dicts = [
+            {PINE_GATE: 0, "OTHER": 1},
+            {"CONIFER": 0, "BROADLEAF": 1},
+            broadleaf,
+            evergreen,
+            oak,
+        ]
+        self.label_to_taxonIDs = [{v: k for k, v in d.items()} for d in self.level_label_dicts]
+
+        self.train_frames = self._level_frames(self.train_df, train=True)
+        self.test_frames = self._level_frames(self.test_df, train=False)
+        self.num_classes = [max(len(d), 2) for d in self.level_label_dicts]
+
+        train_ds = [
+            TreeDataset(df=f, config=self.config, train=True, years=self.years)
+            for f in self.train_frames
+        ]
+        # validation datasets carry labels (train=True also applies the same
+        # deterministic flips as training, reference behavior)
+        test_ds = [
+            TreeDataset(df=f, config=self.config, train=True, years=self.years)
+            for f in self.test_frames
+        ]
+        return train_ds, test_ds
+
+    # ------------------------------------------------------------------
+    # models / optimizers
+    # ------------------------------------------------------------------
+    def _build_models(self):
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+        self.models = []
+        self.variables = []
+        self.opt_states = []
+        self.optimizers = []
+        self.schedulers = []
+        self.loss_weights = []
+        self._train_steps = []
+        self._eval_steps = []
+        self._val_steps = []
+
+        sample = jnp.zeros(
+            (1, len(self.years), cfg["image_size"], cfg["image_size"], cfg["bands"]),
+            jnp.float32,
+        )
+        for level in range(self.levels):
+            classes = self.num_classes[level]
+            model = LearnedEnsemble(
+                years=len(self.years), classes=classes, bands=cfg["bands"], dtype=dtype
+            )
+            self.key, sub = jax.random.split(self.key)
+            variables = model.init(sub, sample)
+            lr = cfg.get("lr_{}".format(level), 1e-5)
+            optimizer = optim.adam_with_plateau(lr)
+            opt_state = optimizer.init(variables["params"])
+            labels = self.train_frames[level].label.values
+            lw = steps.compute_loss_weights(labels, classes, cfg.get("min_loss_weight"))
+
+            self.models.append(model)
+            self.variables.append(dict(variables))
+            self.optimizers.append(optimizer)
+            self.opt_states.append(opt_state)
+            self.schedulers.append(optim.ReduceLROnPlateau(lr))
+            self.loss_weights.append(lw)
+            self._train_steps.append(steps.make_train_step(model.apply, optimizer))
+            self._eval_steps.append(steps.make_eval_step(model.apply))
+            self._val_steps.append(steps.make_loss_eval_step(model.apply))
+
+    # ------------------------------------------------------------------
+    # loaders
+    # ------------------------------------------------------------------
+    def train_dataloader(self):
+        return [
+            Loader(ds, self.config["batch_size"], shuffle=True,
+                   seed=int(self.rng.randint(0, 2**31)),
+                   pad_to_batch=self.config.get("pad_batches", True))
+            for ds in self.train_datasets
+        ]
+
+    def val_dataloader(self):
+        return [
+            Loader(ds, self.config["batch_size"], shuffle=False,
+                   pad_to_batch=self.config.get("pad_batches", True))
+            for ds in self.test_datasets
+        ]
+
+    def predict_dataloader(self, ds):
+        return Loader(ds, self.config["predict_batch_size"], shuffle=False,
+                      pad_to_batch=self.config.get("pad_batches", True))
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def fit(self, epochs=None, experiment=None, fast_dev_run=None):
+        cfg = self.config
+        epochs = epochs if epochs is not None else cfg["epochs"]
+        fast = cfg.get("fast_dev_run") if fast_dev_run is None else fast_dev_run
+        if fast:
+            epochs = 1
+        history = []
+        for epoch in range(epochs):
+            train_losses = self._train_epoch(max_batches=1 if fast else None)
+            val = self.validate(max_batches=1 if fast else None)
+            for level in range(self.levels):
+                sched = self.schedulers[level]
+                new_lr = sched.step(val["val_loss"][level])
+                self.opt_states[level] = optim.set_learning_rate(self.opt_states[level], new_lr)
+            rec = {"epoch": epoch, "train_loss": train_losses, **val}
+            history.append(rec)
+            if experiment:
+                for level in range(self.levels):
+                    experiment.log_metric(
+                        "train_loss_{}".format(level), train_losses[level], epoch=epoch
+                    )
+                    experiment.log_metric(
+                        "val_loss_{}".format(level), val["val_loss"][level], epoch=epoch
+                    )
+                for level, md in enumerate(val["metrics"]):
+                    experiment.log_metrics(md, prefix="level_{}".format(level), epoch=epoch)
+            log.info(
+                "epoch %d train_loss=%s val_loss=%s",
+                epoch,
+                ["%.3f" % l for l in train_losses],
+                ["%.3f" % l for l in val["val_loss"]],
+            )
+        return history
+
+    def _train_epoch(self, max_batches=None):
+        loaders = self.train_dataloader()
+        iters = [iter(l) for l in loaders]
+        n_steps = max(len(l) for l in loaders)
+        if max_batches:
+            n_steps = min(n_steps, max_batches)
+        sums = np.zeros(self.levels)
+        counts = np.zeros(self.levels)
+        for step_i in range(n_steps):
+            for level in range(self.levels):
+                try:
+                    batch = next(iters[level])
+                except StopIteration:
+                    iters[level] = iter(loaders[level])
+                    try:
+                        batch = next(iters[level])
+                    except StopIteration:
+                        continue
+                params, stats, opt_state, loss = self._train_steps[level](
+                    self.variables[level]["params"],
+                    self.variables[level].get("batch_stats", {}),
+                    self.opt_states[level],
+                    jnp.asarray(batch["HSI"]),
+                    jnp.asarray(batch["label"]),
+                    jnp.asarray(batch["mask"]),
+                    self.loss_weights[level],
+                )
+                self.variables[level] = {"params": params, "batch_stats": stats}
+                self.opt_states[level] = opt_state
+                sums[level] += float(loss)
+                counts[level] += 1
+        return (sums / np.maximum(counts, 1)).tolist()
+
+    def validate(self, max_batches=None):
+        val_losses = []
+        level_metrics = []
+        for level, loader in enumerate(self.val_dataloader()):
+            losses = []
+            mc = M.MetricCollection(self.num_classes[level])
+            preds, targets = [], []
+            for bi, batch in enumerate(loader):
+                if max_batches and bi >= max_batches:
+                    break
+                loss, probs = self._val_steps[level](
+                    self.variables[level]["params"],
+                    self.variables[level].get("batch_stats", {}),
+                    jnp.asarray(batch["HSI"]),
+                    jnp.asarray(batch["label"]),
+                    jnp.asarray(batch["mask"]),
+                    self.loss_weights[level],
+                )
+                losses.append(float(loss))
+                mask = batch["mask"]
+                mc.update(np.asarray(probs)[mask], batch["label"][mask])
+                preds.append(np.argmax(np.asarray(probs)[mask], 1))
+                targets.append(batch["label"][mask])
+            val_losses.append(float(np.mean(losses)) if losses else float("nan"))
+            md = mc.compute()
+            if preds:
+                p = np.concatenate(preds)
+                t = np.concatenate(targets)
+                acc = M.per_class_accuracy(p, t, self.num_classes[level])
+                prec = M.per_class_precision(p, t, self.num_classes[level])
+                for taxon, idx in self.level_label_dicts[level].items():
+                    md["Epoch_{}_accuracy".format(taxon)] = float(acc[idx])
+                    md["Epoch_{}_precision".format(taxon)] = float(prec[idx])
+            level_metrics.append(md)
+        return {"val_loss": val_losses, "metrics": level_metrics}
+
+    # ------------------------------------------------------------------
+    # prediction / ensembling
+    # ------------------------------------------------------------------
+    def predict(self, loader):
+        """Run every level on each batch -> list of (individuals, [probs])."""
+        outputs = []
+        for batch in loader:
+            images = jnp.asarray(batch["HSI"])
+            mask = batch["mask"]
+            level_probs = []
+            for level in range(self.levels):
+                probs = self._eval_steps[level](
+                    self.variables[level]["params"],
+                    self.variables[level].get("batch_stats", {}),
+                    images,
+                )
+                level_probs.append(np.asarray(probs)[mask])
+            outputs.append((batch["individual"][mask], level_probs))
+        return outputs
+
+    def gather_predictions(self, predict_df):
+        """Pivot raw predictions to one row per individual with per-level
+        argmax label/score (temporal average across duplicate rows)."""
+        rows = {}
+        for individuals, level_probs in predict_df:
+            for level, probs in enumerate(level_probs):
+                for ind, p in zip(individuals, probs):
+                    rows.setdefault((ind, level), []).append(p)
+        individuals = sorted({k[0] for k in rows})
+        data = {"individual": individuals}
+        for level in range(self.levels):
+            labels, scores = [], []
+            for ind in individuals:
+                stacked = np.vstack(rows[(ind, level)])
+                labels.append(int(np.unravel_index(np.argmax(stacked), stacked.shape)[1]))
+                scores.append(float(stacked.max()))
+            data["pred_label_top1_level_{}".format(level)] = labels
+            data["top1_score_level_{}".format(level)] = scores
+        results = pd.DataFrame(data)
+        for level, label_dict in enumerate(self.label_to_taxonIDs):
+            results["pred_taxa_top1_level_{}".format(level)] = results[
+                "pred_label_top1_level_{}".format(level)
+            ].map(label_dict)
+        return results
+
+    def ensemble(self, results):
+        """Decision-tree over the level heads -> final taxonID/label/score
+        (reference src/models/multi_stage.py:404-434)."""
+        taxa, labels, scores = [], [], []
+        for _, row in results.iterrows():
+            if row["pred_taxa_top1_level_0"] == PINE_GATE:
+                t, s = PINE_GATE, row["top1_score_level_0"]
+            elif row["pred_taxa_top1_level_1"] == "BROADLEAF":
+                if row["pred_taxa_top1_level_2"] == "OAK":
+                    t, s = row["pred_taxa_top1_level_4"], row["top1_score_level_4"]
+                else:
+                    t, s = row["pred_taxa_top1_level_2"], row["top1_score_level_2"]
+            else:
+                t, s = row["pred_taxa_top1_level_3"], row["top1_score_level_3"]
+            taxa.append(t)
+            scores.append(s)
+            labels.append(self.species_label_dict.get(t))
+        results = results.copy()
+        results["ensembleTaxonID"] = taxa
+        results["ens_score"] = scores
+        results["ens_label"] = labels
+        return results
+
+    def evaluation_scores(self, ensemble_df, experiment=None):
+        ensemble_df = ensemble_df.groupby("individual", sort=False, group_keys=False).head(1)
+        n = len(self.species_label_dict)
+        preds = ensemble_df.ens_label.fillna(-1).astype(int).values
+        target = ensemble_df.label.astype(int).values
+        acc = M.per_class_accuracy(preds, target, n)
+        prec = M.per_class_precision(preds, target, n)
+        taxon_labels = sorted(self.species_label_dict)
+        species_table = pd.DataFrame(
+            {
+                "taxonID": taxon_labels,
+                "accuracy": [acc[self.species_label_dict[t]] for t in taxon_labels],
+                "precision": [prec[self.species_label_dict[t]] for t in taxon_labels],
+            }
+        )
+        if experiment:
+            experiment.log_metrics(
+                species_table.set_index("taxonID").accuracy.to_dict(), prefix="accuracy"
+            )
+            experiment.log_metrics(
+                species_table.set_index("taxonID").precision.to_dict(), prefix="precision"
+            )
+            if "siteID" in ensemble_df.columns:
+                site_rows = []
+                for name, group in ensemble_df.groupby("siteID"):
+                    gm = M.micro_accuracy(group.ens_label.values, group.label.values)
+                    gM = M.macro_accuracy(
+                        group.ens_label.fillna(-1).astype(int).values,
+                        group.label.astype(int).values, n,
+                    )
+                    experiment.log_metric("{}_micro".format(name), gm)
+                    experiment.log_metric("{}_macro".format(name), gM)
+                    site_rows.append({"Site": name, "Micro Recall": gm, "Macro Recall": gM})
+                experiment.log_table("site_results.csv", pd.DataFrame(site_rows))
+            experiment.log_table("species_table.csv", species_table)
+        return ensemble_df
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path):
+        tree = {
+            "levels": {str(i): self.variables[i] for i in range(self.levels)},
+            "loss_weights": {str(i): self.loss_weights[i] for i in range(self.levels)},
+        }
+        meta = {
+            "years": [str(y) for y in self.years],
+            "species_label_dict": self.species_label_dict,
+            "level_label_dicts": self.level_label_dicts,
+            "num_classes": self.num_classes,
+            "bands": self.config["bands"],
+            "image_size": self.config["image_size"],
+            "scheduler_state": [s.state_dict() for s in self.schedulers],
+        }
+        return checkpoints.save_checkpoint(path, tree, meta)
+
+    @classmethod
+    def load_from_checkpoint(cls, path, config, train_df=None, test_df=None, crowns=None):
+        tree, meta = checkpoints.load_checkpoint(path)
+        obj = cls.__new__(cls)
+        obj.config = config
+        obj.crowns = crowns
+        obj.rng = np.random.RandomState(0)
+        obj.key = jax.random.PRNGKey(0)
+        obj.train_df = train_df
+        obj.test_df = test_df
+        obj.years = meta["years"]
+        obj.species_label_dict = {k: int(v) for k, v in meta["species_label_dict"].items()}
+        obj.index_to_label = {v: k for k, v in obj.species_label_dict.items()}
+        obj.level_label_dicts = [
+            {k: int(v) for k, v in d.items()} for d in meta["level_label_dicts"]
+        ]
+        obj.label_to_taxonIDs = [{v: k for k, v in d.items()} for d in obj.level_label_dicts]
+        obj.level_names = ["pine_gate", "conifer_broadleaf", "broadleaf", "evergreen", "oak"]
+        obj.num_classes = [int(x) for x in meta["num_classes"]]
+        obj.levels = len(obj.num_classes)
+
+        cfg = dict(config)
+        cfg["bands"] = int(meta["bands"])
+        cfg["image_size"] = int(meta["image_size"])
+        obj.config = cfg
+        dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+
+        obj.models, obj.variables, obj.optimizers = [], [], []
+        obj.opt_states, obj.schedulers, obj.loss_weights = [], [], []
+        obj._train_steps, obj._eval_steps, obj._val_steps = [], [], []
+        for level in range(obj.levels):
+            model = LearnedEnsemble(
+                years=len(obj.years), classes=obj.num_classes[level],
+                bands=cfg["bands"], dtype=dtype,
+            )
+            variables = jax.tree_util.tree_map(
+                jnp.asarray, tree["levels"][str(level)]
+            )
+            lr = cfg.get("lr_{}".format(level), 1e-5)
+            optimizer = optim.adam_with_plateau(lr)
+            obj.models.append(model)
+            obj.variables.append(variables)
+            obj.optimizers.append(optimizer)
+            obj.opt_states.append(optimizer.init(variables["params"]))
+            sched = optim.ReduceLROnPlateau(lr)
+            state = meta.get("scheduler_state")
+            if state:
+                sched.load_state_dict(state[level])
+            obj.schedulers.append(sched)
+            obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
+            obj._train_steps.append(steps.make_train_step(model.apply, optimizer))
+            obj._eval_steps.append(steps.make_eval_step(model.apply))
+            obj._val_steps.append(steps.make_loss_eval_step(model.apply))
+        return obj

@@ -39,14 +39,14 @@ class LearnedEnsemble(nn.Module):
 
         vmapped = nn.vmap(
             SpectralNetwork,
-            in_axes=0,
+            in_axes=(0, None),  # (year-stacked images, train flag)
             out_axes=0,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             methods=["__call__"],
         )
         scores = vmapped(self.bands, self.classes, self.dtype, name="year_models")(
-            x, train=train
+            x, train
         )
         final = scores[-1]  # [Y, B, classes]
 

@@ -1,0 +1,161 @@
+"""Landscape tile prediction pipeline.
+
+Capability parity with reference src/predict.py:29-168: per RGB tile —
+detect crowns (find_crowns), CHM-filter, score alive/dead, cut per-year HSI
+crops (generate_prediction_crops), run the MultiStage hierarchy over every
+crown (predict_species), apply the decision-tree ensemble, mask
+high-confidence dead crowns, and write the tile shapefile (predict_tile).
+Each stage's output is an idempotent file, so tile sweeps resume.
+"""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.data import detection
+from deeptreeattention_tpu.data.chm import postprocess_CHM
+from deeptreeattention_tpu.data.crops import generate_crops
+from deeptreeattention_tpu.data.dataset import TreeDataset
+from deeptreeattention_tpu.geo import raster, vector
+from deeptreeattention_tpu.geo.geometry import Box
+from deeptreeattention_tpu.models import dead as dead_mod
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def predict_crowns(path, detector=None):
+    """Detect crowns over a whole RGB tile -> UTM crown GeoDataFrame with the
+    pipeline's schema columns."""
+    detector = detector or detection.load_detector()
+    boxes = detector.predict_tile(path)
+    if boxes is None or boxes.empty:
+        return None
+    with raster.open_raster(path) as src:
+        t = src.transform
+        crs = src.crs
+    geoms = [
+        Box(
+            t.a * row.xmin + t.c,
+            t.f + t.e * row.ymax,
+            t.a * row.xmax + t.c,
+            t.f + t.e * row.ymin,
+        )
+        for row in boxes.itertuples()
+    ]
+    gdf = vector.GeoDataFrame(
+        boxes.drop(columns=["xmin", "ymin", "xmax", "ymax"]), geometry=geoms, crs=crs
+    )
+    basename = os.path.splitext(os.path.basename(path))[0]
+    gdf["individual"] = ["{}_{}".format(i, basename) for i in range(len(gdf))]
+    for col in ["plotID", "siteID", "box_id", "taxonID"]:
+        gdf[col] = None
+    gdf["RGB_tile"] = path
+    return gdf
+
+
+def find_crowns(rgb_path, config, dead_model_path=None, detector=None, dead_model=None):
+    """Crown detection + CHM filter + alive/dead scoring for one tile."""
+    crowns = predict_crowns(rgb_path, detector=detector)
+    if crowns is None:
+        return None
+    crowns["tile"] = rgb_path
+
+    if config.get("CHM_pool"):
+        chm_pool = glob.glob(config["CHM_pool"], recursive=True)
+        crowns = postprocess_CHM(crowns, chm_pool)
+        filtered = crowns[crowns.CHM_height.astype(float) > 3]
+    else:
+        filtered = crowns
+    if filtered.empty:
+        raise ValueError("No crowns left after CHM filter for {}".format(rgb_path))
+    filtered = vector.GeoDataFrame(filtered.reset_index(drop=True),
+                                   crs=getattr(crowns, "crs", None))
+
+    if dead_model_path or dead_model is not None:
+        label, score = predict_dead(
+            crowns=filtered, dead_model_path=dead_model_path, config=config,
+            dead_model=dead_model,
+        )
+        filtered["dead_label"] = label
+        filtered["dead_score"] = score
+    return filtered
+
+
+def predict_dead(crowns, dead_model_path=None, config=None, dead_model=None):
+    """Alive/dead scores for crown RGB windows.
+
+    Keeps the reference's intentional quirk of scoring with batch (not
+    running) statistics at prediction time (reference src/predict.py:156)."""
+    if dead_model is None:
+        dead_model = dead_mod.AliveDead.load_from_checkpoint(dead_model_path, config=config)
+    ds = dead_mod.UTMDataset(crowns=crowns, config=config)
+    probs = dead_model.predict_dataset(ds, batch_size=config["dead"]["batch_size"])
+    return np.argmax(probs, 1), np.max(probs, 1)
+
+
+def generate_prediction_crops(crowns, config, client=None, as_numpy=True):
+    """Per-year .npy crops + a sidecar shapefile carrying dead scores."""
+    annotations = generate_crops(
+        crowns,
+        savedir=config["prediction_crop_dir"],
+        sensor_glob=config["HSI_sensor_pool"],
+        convert_h5=config["convert_h5"],
+        rgb_glob=config["rgb_sensor_pool"],
+        HSI_tif_dir=config.get("HSI_tif_dir"),
+        client=client,
+        as_numpy=as_numpy,
+    )
+    rgb_path = annotations.RGB_tile.unique()[0]
+    basename = os.path.splitext(os.path.basename(rgb_path))[0]
+    annotations = vector.GeoDataFrame(annotations, crs=getattr(crowns, "crs", None))
+    cols = [c for c in ["individual", "dead_label", "dead_score"] if c in crowns.columns]
+    merged = annotations.merge(crowns[cols], on="individual")
+    out = vector.GeoDataFrame(merged, crs=getattr(crowns, "crs", None))
+    path = os.path.join(config["prediction_crop_dir"], "{}.shp".format(basename))
+    out.to_file(path)
+    return path
+
+
+def predict_species(crowns, m, config):
+    """All 5 hierarchy levels over every crown -> gathered + ensembled df."""
+    cfg = dict(config)
+    cfg["crop_dir"] = config["prediction_crop_dir"]
+    ds = TreeDataset(df=crowns, train=False, config=cfg, years=m.years)
+    predictions = m.predict(m.predict_dataloader(ds))
+    if not predictions:
+        return None
+    results = m.gather_predictions(predictions)
+    results = m.ensemble(results)
+    return results.merge(crowns, on="individual")
+
+
+def predict_tile(crown_annotations, m, config, savedir, filter_dead=False, client=None):
+    """One tile end-to-end from the crops sidecar -> predicted .shp."""
+    crowns = (
+        vector.read_file(crown_annotations)
+        if isinstance(crown_annotations, str)
+        else crown_annotations
+    )
+    trees = predict_species(crowns=crowns, m=m, config=config)
+    if trees is None:
+        return None
+
+    if filter_dead and "dead_label" in trees.columns:
+        dead_mask = (trees.dead_label == 1) & (
+            trees.dead_score.astype(float) > config["dead_threshold"]
+        )
+        trees.loc[dead_mask, "ensembleTaxonID"] = "DEAD"
+        trees.loc[dead_mask, "ens_label"] = None
+        trees.loc[dead_mask, "ens_score"] = None
+
+    trees["crown_area"] = [g.area for g in trees.geometry]
+    trees = vector.GeoDataFrame(trees, crs=getattr(crowns, "crs", None))
+    log.info("%d trees predicted", len(trees))
+
+    basename = os.path.splitext(os.path.basename(trees.RGB_tile.unique()[0]))[0]
+    os.makedirs(savedir, exist_ok=True)
+    out_path = os.path.join(savedir, "{}.shp".format(basename))
+    trees.to_file(out_path)
+    return trees

@@ -1,0 +1,55 @@
+"""Data layer tests: artifact loading, dataset shapes, split disjointness
+(pattern: reference tests/test_data.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
+
+
+def test_artifact_datamodule(dm):
+    assert len(dm.train) > 0 and len(dm.test) > 0
+    # plot-disjoint split
+    assert not set(dm.train.plotID).intersection(dm.test.plotID)
+    assert dm.num_classes == 6
+    assert set(dm.train.columns) >= {"individual", "taxonID", "image_path", "tile_year", "label"}
+    assert dm.species_label_dict["ACRU"] == 0  # sorted species
+
+
+def test_tree_dataset_item(dm, config):
+    ds = TreeDataset(df=dm.train, config=config)
+    individual, images, label = ds[0]
+    assert images.shape == (3, 11, 11, 8)
+    assert images.dtype == np.float32
+    assert 0 <= label < dm.num_classes
+    assert 0.0 <= images.max() <= 1.0
+
+
+def test_missing_year_is_zero(dm, config):
+    ds = TreeDataset(df=dm.train, config=config)
+    # find an individual with a missing year
+    for i, ind in enumerate(ds.individuals):
+        missing = [y for y in ds.years if y not in ds.image_paths[ind]]
+        if missing:
+            _, images, _ = ds[i]
+            yi = ds.years.index(missing[0])
+            assert np.all(images[yi] == 0)
+            return
+    pytest.skip("fixture has no missing years")
+
+
+def test_loader_batches_and_padding(dm, config):
+    ds = TreeDataset(df=dm.train, config=config)
+    loader = Loader(ds, batch_size=16, shuffle=True, pad_to_batch=True)
+    batches = list(loader)
+    assert all(b["HSI"].shape == (16, 3, 11, 11, 8) for b in batches)
+    total_real = sum(b["mask"].sum() for b in batches)
+    assert total_real == len(ds)
+    last = batches[-1]
+    assert np.all(last["HSI"][~last["mask"]] == 0)
+
+
+def test_predict_mode_dataset(dm, config):
+    ds = TreeDataset(df=dm.test, config=config, train=False)
+    out = ds[0]
+    assert len(out) == 2  # no label

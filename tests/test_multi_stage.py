@@ -1,0 +1,72 @@
+"""MultiStage tests: level construction, 1-step fit, predict->gather->
+ensemble, checkpoint round trip (pattern: reference tests/test_multi_stage.py)."""
+import os
+
+import numpy as np
+import pytest
+
+from deeptreeattention_tpu.data.dataset import TreeDataset
+from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+
+def test_level_construction(m, dm):
+    assert m.levels == 5
+    assert m.level_label_dicts[0] == {"PIPA2": 0, "OTHER": 1}
+    assert m.level_label_dicts[1] == {"CONIFER": 0, "BROADLEAF": 1}
+    assert m.level_label_dicts[2] == {"ACRU": 0, "OAK": 1}
+    assert set(m.level_label_dicts[3]) == {"PITA", "PIEL"}
+    assert set(m.level_label_dicts[4]) == {"QULA2", "QUGE2"}
+    # L0 collapses everything non-pine to OTHER
+    assert set(m.train_frames[0].taxonID.unique()) <= {"PIPA2", "OTHER"}
+    # L3 contains only conifers (no PIPA2)
+    assert set(m.train_frames[3].taxonID.unique()) <= {"PITA", "PIEL"}
+
+
+def test_fit_one_epoch_reduces_nothing_but_runs(m):
+    history = m.fit(epochs=1, fast_dev_run=True)
+    assert len(history) == 1
+    assert len(history[0]["train_loss"]) == 5
+    assert all(np.isfinite(history[0]["train_loss"]))
+    assert all(np.isfinite(history[0]["val_loss"]))
+
+
+def test_predict_gather_ensemble(m, dm, config):
+    ds = TreeDataset(df=dm.test, config=config, train=False)
+    loader = m.predict_dataloader(ds)
+    predictions = m.predict(loader)
+    assert predictions
+    results = m.gather_predictions(predictions)
+    assert len(results) == len(ds.individuals)
+    for level in range(5):
+        assert "pred_taxa_top1_level_{}".format(level) in results.columns
+        scores = results["top1_score_level_{}".format(level)]
+        assert scores.between(0, 1).all()
+
+    ensemble_df = m.ensemble(results)
+    assert set(ensemble_df.ensembleTaxonID.unique()) <= set(m.species_label_dict) | {None}
+    # decision-tree consistency: PIPA2 rows take the level-0 score
+    pipa = ensemble_df[ensemble_df.pred_taxa_top1_level_0 == "PIPA2"]
+    if len(pipa):
+        np.testing.assert_allclose(pipa.ens_score, pipa.top1_score_level_0)
+
+    merged = ensemble_df.merge(dm.test.groupby("individual").head(1), on="individual")
+    scored = m.evaluation_scores(merged)
+    assert "ens_label" in scored.columns
+
+
+def test_checkpoint_roundtrip(m, dm, config, tmp_path):
+    path = str(tmp_path / "snapshot")
+    m.save_checkpoint(path)
+    assert os.path.exists(os.path.join(path, "state.msgpack"))
+
+    loaded = MultiStage.load_from_checkpoint(path, config=config)
+    assert loaded.levels == m.levels
+    assert loaded.species_label_dict == m.species_label_dict
+
+    ds = TreeDataset(df=dm.test.head(4), config=config, train=False)
+    loader = m.predict_dataloader(ds)
+    a = m.predict(loader)
+    b = loaded.predict(m.predict_dataloader(ds))
+    for (ia, pa), (ib, pb) in zip(a, b):
+        for la, lb in zip(pa, pb):
+            np.testing.assert_allclose(la, lb, atol=1e-6)
