@@ -1,0 +1,14 @@
+#!/bin/bash
+# Landscape prediction sweep (equivalent of reference SLURM/predict.sh,
+# including the whole-run profile). Shard the tile list across array tasks:
+# each task processes tiles where (tile_index % ARRAY_SIZE) == ARRAY_ID —
+# the per-tile outputs are idempotent files so overlapping work is safe.
+#SBATCH --job-name=dta_tpu_predict
+#SBATCH --cpus-per-task=16
+#SBATCH --mem=128GB
+#SBATCH --time=48:00:00
+#SBATCH --output=logs/predict_%j.out
+#SBATCH --error=logs/predict_%j.err
+
+set -euo pipefail
+python -m cProfile -o "logs/predict_${SLURM_JOB_ID:-local}.pstats" predict.py

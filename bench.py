@@ -1,0 +1,72 @@
+"""Benchmark: Hang2020 HSI inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.md): >= 50,000 11x11 HSI patches/sec/chip through the
+full Hang2020 spectral+spatial fusion network (including on-device
+preprocessing).
+
+Timing is done with ITERS steps chained by a data dependency inside a single
+jit (lax.scan), so asynchronous dispatch / remote-execution pipelining cannot
+fake the number; wall time is measured over the whole compiled program.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.models.hang2020 import Hang2020
+    from deeptreeattention_tpu.ops.preprocess import preprocess_batch
+
+    BANDS_RAW = 369
+    BANDS = 349
+    CLASSES = 20
+    BATCH = 4096
+    ITERS = 16
+
+    model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randint(0, 10000, size=(BATCH, 11, 11, BANDS_RAW)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 11, 11, BANDS), jnp.float32))
+
+    @jax.jit
+    def bench_fn(variables, raw):
+        def body(carry, _):
+            # carry -> input dependency serializes the iterations
+            x = preprocess_batch(raw + carry)
+            out = model.apply(variables, x, train=False)
+            return jnp.mean(out) * 1e-9, None
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return carry
+
+    bench_fn(variables, raw).block_until_ready()  # compile
+    bench_fn(variables, raw).block_until_ready()  # warm
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = bench_fn(variables, raw)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = BATCH * ITERS * reps / dt
+    target = 50000.0
+    print(
+        json.dumps(
+            {
+                "metric": "hang2020_inference_throughput",
+                "value": round(patches_per_sec, 1),
+                "unit": "patches/sec/chip (11x11x369 incl. preprocess)",
+                "vs_baseline": round(patches_per_sec / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

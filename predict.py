@@ -1,0 +1,123 @@
+"""Entry point: landscape tile prediction (equivalent of reference
+predict.py:1-161).
+
+    python predict.py [-d '{"site": "OSBS", ...}']
+
+Step 1: find site RGB tiles, detect crowns (+CHM filter, +dead scores),
+write per-tile crown shapefiles and prediction crops.
+Step 2: for every species-model checkpoint, predict every tile and write the
+result shapefiles. All stages skip work whose output file already exists
+(idempotent resume).
+"""
+import glob
+import os
+import re
+import traceback
+
+from deeptreeattention_tpu import cluster
+from deeptreeattention_tpu.models.multi_stage import MultiStage
+from deeptreeattention_tpu.predict import tiles as predict_api
+from deeptreeattention_tpu.utils.config import read_config
+from deeptreeattention_tpu.utils.logging import Experiment, get_logger
+
+log = get_logger("predict")
+
+# OSBS station boundary in UTM 17N (reference predict.py:28-31)
+OSBS_BOUNDS = (399815.5, 3282308.0, 409113.7, 3290124.0)
+
+
+def find_rgb_files(site, config, year="2021", bounds=OSBS_BOUNDS):
+    tiles = glob.glob(config["rgb_sensor_pool"], recursive=True)
+    tiles = [x for x in tiles if site in x and "neon-aop-products" not in x]
+    if year:
+        tiles = [x for x in tiles if "/{}/".format(year) in x or "_{}".format(year) in x]
+    if not bounds:
+        return tiles
+    out = []
+    for rgb_path in tiles:
+        m = re.search(r"(\d+)_(\d+)_image", os.path.basename(rgb_path))
+        if not m:
+            continue
+        e, n = float(m.group(1)), float(m.group(2))
+        if bounds[0] < e < bounds[2] and bounds[1] < n < bounds[3]:
+            out.append(rgb_path)
+    return out
+
+
+def main():
+    config = read_config("config.yml")
+    config["preload_images"] = False
+    experiment = Experiment(project_name="DeepTreeAttention-TPU")
+    experiment.add_tag("prediction")
+    experiment.log_parameters(config)
+
+    client = cluster.start(cpus=config.get("workers", 4))
+    site = config.get("site", "OSBS")
+    results_dir = config.get("results_dir", "results")
+    crowns_dir = os.path.join(results_dir, "crowns")
+    os.makedirs(crowns_dir, exist_ok=True)
+    os.makedirs(config["prediction_crop_dir"], exist_ok=True)
+
+    dead_model_path = config.get("dead_model")
+    species_model_paths = config.get("species_model_paths") or []
+    if isinstance(species_model_paths, str):
+        species_model_paths = [species_model_paths]
+
+    tiles = find_rgb_files(site=site, config=config,
+                           year=config.get("predict_year", "2021"),
+                           bounds=None if site != "OSBS" else OSBS_BOUNDS)
+    log.info("%d RGB tiles for %s", len(tiles), site)
+
+    # Step 1: crowns + prediction crops per tile (idempotent)
+    crown_annotation_paths = []
+    for x in tiles:
+        basename = os.path.splitext(os.path.basename(x))[0]
+        shpname = os.path.join(crowns_dir, "{}.shp".format(basename))
+        if not os.path.exists(shpname):
+            try:
+                crowns = predict_api.find_crowns(
+                    rgb_path=x, config=config, dead_model_path=dead_model_path
+                )
+                if crowns is None:
+                    continue
+                crowns.to_file(shpname)
+            except Exception:
+                traceback.print_exc()
+                log.warning("%s failed to build crowns", shpname)
+                continue
+        crops_shp = os.path.join(config["prediction_crop_dir"], "{}.shp".format(basename))
+        if not os.path.exists(crops_shp):
+            from deeptreeattention_tpu.geo import vector
+
+            crowns = vector.read_file(shpname)
+            crops_shp = predict_api.generate_prediction_crops(
+                crowns, config, client=client, as_numpy=True
+            )
+        crown_annotation_paths.append(crops_shp)
+
+    # Step 2: every species model x every tile (idempotent)
+    for model_path in species_model_paths:
+        log.info("model %s", model_path)
+        m = MultiStage.load_from_checkpoint(model_path, config=config)
+        prediction_dir = os.path.join(
+            results_dir, os.path.splitext(os.path.basename(model_path))[0]
+        )
+        os.makedirs(prediction_dir, exist_ok=True)
+        for crops_shp in crown_annotation_paths:
+            out_shp = os.path.join(prediction_dir, os.path.basename(crops_shp))
+            if os.path.exists(out_shp):
+                continue
+            try:
+                predict_api.predict_tile(
+                    crown_annotations=crops_shp, filter_dead=bool(dead_model_path),
+                    m=m, savedir=prediction_dir, config=config,
+                )
+            except Exception:
+                traceback.print_exc()
+                continue
+    client.close()
+    log.info("prediction sweep complete")
+
+
+if __name__ == "__main__":
+    main()
