@@ -1,0 +1,181 @@
+"""Import reference PyTorch checkpoints into this framework's parameter trees.
+
+Migration path for users of the reference (weecology/DeepTreeAttention):
+a torch `spectral_network`/`Hang2020` state_dict (reference
+src/models/Hang2020.py) maps onto our flax modules:
+
+  * Conv2d weight [O, I, kh, kw]  -> flax kernel [kh, kw, I, O]
+  * Linear weight [O, I]          -> flax kernel [I, O]
+  * BatchNorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+  * spectral attention Conv1d [F, F, k] -> Dense kernel = middle tap
+    (w[:, :, k//2].T) — exactly the math the reference computes on its
+    length-1 pooled sequence (see models/hang2020.py docstring).
+  * spatial classifier Linear: torch flattens NCHW (c, h, w); our NHWC
+    flatten is (h, w, c) — rows are permuted accordingly.
+
+Only needs torch to unpickle; everything else is numpy.
+"""
+import numpy as np
+
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+STAGE_DIMS = {1: 32, 2: 64, 3: 128}
+SPATIAL_POOLED = {1: (2, 2, 32), 2: (2, 2, 64), 3: (2, 2, 128)}
+
+
+def load_state_dict(path):
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    if "state_dict" in state:
+        state = state["state_dict"]
+    return {k: np.asarray(v) for k, v in state.items()}
+
+
+def _conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def _conv1d_middle_tap(w):
+    k = w.shape[-1]
+    return np.transpose(w[:, :, k // 2], (1, 0))
+
+
+def _linear_from_nchw_flatten(w, chw):
+    """Reorder a torch Linear acting on flattened NCHW features to act on our
+    flattened NHWC features."""
+    c = chw[2]
+    h, w_, = chw[0], chw[1]
+    idx = np.arange(c * h * w_).reshape(h, w_, c)  # our order
+    torch_idx = np.transpose(idx, (2, 0, 1)).reshape(-1)  # torch order of same elements
+    # torch weight column j corresponds to torch feature j; our feature order
+    # inverse-permutes the columns
+    perm = np.argsort(np.argsort(torch_idx))
+    inv = np.empty_like(torch_idx)
+    inv[torch_idx] = np.arange(len(torch_idx))
+    del perm
+    return np.transpose(w[:, inv], (1, 0))
+
+
+def _bn(prefix, state):
+    return {
+        "scale": state[prefix + ".weight"],
+        "bias": state[prefix + ".bias"],
+    }, {
+        "mean": state[prefix + ".running_mean"],
+        "var": state[prefix + ".running_var"],
+    }
+
+
+def import_spectral_network(state, prefix=""):
+    """torch spectral_network state_dict -> (params, batch_stats) dicts
+    matching models.hang2020.SpectralNetwork."""
+    p = {}
+    bs = {}
+    for i in (1, 2, 3):
+        conv = "{}conv{}".format(prefix, i)
+        p["conv{}".format(i)] = {
+            "conv": {
+                "kernel": _conv2d(state[conv + ".conv_layer.weight"]),
+                "bias": state[conv + ".conv_layer.bias"],
+            }
+        }
+        bn_p, bn_s = _bn(conv + ".bn1", state)
+        p["conv{}".format(i)]["bn"] = bn_p
+        bs["conv{}".format(i)] = {"bn": bn_s}
+
+        att = "{}attention_{}".format(prefix, i)
+        p["attention_{}".format(i)] = {
+            "attention_fc1": {
+                "kernel": _conv1d_middle_tap(state[att + ".attention_conv1.weight"]),
+                "bias": state[att + ".attention_conv1.bias"],
+            },
+            "attention_fc2": {
+                "kernel": _conv1d_middle_tap(state[att + ".attention_conv2.weight"]),
+                "bias": state[att + ".attention_conv2.bias"],
+            },
+        }
+        cls = "{}classifier{}".format(prefix, i)
+        p["classifier{}".format(i)] = {
+            "fc1": {
+                "kernel": _linear(state[cls + ".fc1.weight"]),
+                "bias": state[cls + ".fc1.bias"],
+            }
+        }
+    return p, bs
+
+
+def import_spatial_network(state, prefix=""):
+    p = {}
+    bs = {}
+    for i in (1, 2, 3):
+        conv = "{}conv{}".format(prefix, i)
+        p["conv{}".format(i)] = {
+            "conv": {
+                "kernel": _conv2d(state[conv + ".conv_layer.weight"]),
+                "bias": state[conv + ".conv_layer.bias"],
+            }
+        }
+        bn_p, bn_s = _bn(conv + ".bn1", state)
+        p["conv{}".format(i)]["bn"] = bn_p
+        bs["conv{}".format(i)] = {"bn": bn_s}
+
+        att = "{}attention_{}".format(prefix, i)
+        p["attention_{}".format(i)] = {
+            "channel_pool": {
+                "kernel": _conv2d(state[att + ".channel_pool.weight"]),
+                "bias": state[att + ".channel_pool.bias"],
+            },
+            "attention_conv1": {
+                "kernel": _conv2d(state[att + ".attention_conv1.weight"]),
+                "bias": state[att + ".attention_conv1.bias"],
+            },
+            "attention_conv2": {
+                "kernel": _conv2d(state[att + ".attention_conv2.weight"]),
+                "bias": state[att + ".attention_conv2.bias"],
+            },
+        }
+        cls = "{}classifier{}".format(prefix, i)
+        p["classifier{}".format(i)] = {
+            "fc1": {
+                "kernel": _linear_from_nchw_flatten(
+                    state[cls + ".fc1.weight"], SPATIAL_POOLED[i]
+                ),
+                "bias": state[cls + ".fc1.bias"],
+            }
+        }
+    return p, bs
+
+
+def import_hang2020(state_or_path):
+    """Full Hang2020 (both branches + alpha) -> flax variables dict."""
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    sp_p, sp_bs = import_spectral_network(state, prefix="spectral_network.")
+    sa_p, sa_bs = import_spatial_network(state, prefix="spatial_network.")
+    params = {
+        "spectral_network": sp_p,
+        "spatial_network": sa_p,
+        "alpha": np.float32(state["alpha"]),
+    }
+    batch_stats = {"spectral_network": sp_bs, "spatial_network": sa_bs}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_spectral_only(state_or_path):
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    p, bs = import_spectral_network(state)
+    return {"params": p, "batch_stats": bs}
