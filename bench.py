@@ -18,6 +18,12 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # reuse compiled programs across bench runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.hang2020 import Hang2020
@@ -27,7 +33,7 @@ def main():
     BANDS = 349
     CLASSES = 20
     BATCH = 4096
-    ITERS = 32
+    ITERS = 8
 
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)

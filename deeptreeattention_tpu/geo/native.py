@@ -1,0 +1,163 @@
+"""ctypes binding to the native GeoTIFF decoder (native/geotiff.cc).
+
+Auto-builds the shared library on first use (g++ + zlib, a few seconds) and
+degrades silently to the pure-numpy codec when a toolchain is unavailable —
+`available()` reports which path is live. The win over the numpy codec is the
+threaded `read_patches`: model-ready float32 batches (window -> band clip ->
+per-pixel min-max -> nearest resize) straight from a raw tile.
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from deeptreeattention_tpu.geo.affine import Affine
+from deeptreeattention_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_LIB = None
+_TRIED = False
+
+_DTYPES = {
+    0: np.uint8, 1: np.int16, 2: np.uint16, 3: np.int32,
+    4: np.uint32, 5: np.float32, 6: np.float64, 7: np.int8,
+}
+
+
+def _native_dir():
+    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so_path = os.path.join(_native_dir(), "libdta_native.so")
+    if not os.path.exists(so_path):
+        try:
+            subprocess.run(
+                ["bash", os.path.join(_native_dir(), "build.sh")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:
+            log.warning("native geotiff build failed (%s); using numpy codec", e)
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        log.warning("cannot load %s (%s); using numpy codec", so_path, e)
+        return None
+
+    lib.dta_tiff_open.restype = ctypes.c_void_p
+    lib.dta_tiff_open.argtypes = [ctypes.c_char_p]
+    lib.dta_tiff_info.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.dta_tiff_read_window.restype = ctypes.c_int
+    lib.dta_tiff_read_window.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.dta_tiff_read_patches.restype = ctypes.c_int
+    lib.dta_tiff_read_patches.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dta_tiff_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+class NativeRaster:
+    """Native-decode raster with the same surface raster.Raster exposes."""
+
+    def __init__(self, path):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native geotiff library unavailable")
+        self._lib = lib
+        self._h = lib.dta_tiff_open(path.encode())
+        if not self._h:
+            raise ValueError("{} is not a readable TIFF".format(path))
+        self.path = path
+        info = (ctypes.c_int64 * 6)()
+        tf = (ctypes.c_double * 6)()
+        nd = ctypes.c_double()
+        lib.dta_tiff_info(self._h, info, tf, ctypes.byref(nd))
+        self.width, self.height, self.count = int(info[0]), int(info[1]), int(info[2])
+        self.dtype = np.dtype(_DTYPES[int(info[3])])
+        self.crs = int(info[4]) or None
+        self.nodata = float(nd.value) if info[5] else None
+        self.transform = Affine(tf[0], tf[1], tf[2], tf[3], tf[4], tf[5])
+        self.res = (self.transform.a, -self.transform.e)
+
+    def read(self, window=None, boundless=False, fill_value=0, indexes=None):
+        if window is None:
+            r0, c0, h, w = 0, 0, self.height, self.width
+        else:
+            win = window.round()
+            r0, c0, h, w = win.row_off, win.col_off, win.height, win.width
+        if h <= 0 or w <= 0:
+            return np.zeros((self.count, max(h, 0), max(w, 0)), self.dtype)
+        out = np.empty((self.count, h, w), self.dtype)
+        rc = self._lib.dta_tiff_read_window(self._h, r0, c0, h, w, out.ctypes.data)
+        if rc != 0:
+            raise IOError("native window read failed for {}".format(self.path))
+        if not boundless:
+            rc0, cc0 = max(r0, 0), max(c0, 0)
+            rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
+            out = out[:, rc0 - r0 : max(rc1 - r0, 0), cc0 - c0 : max(cc1 - c0, 0)]
+        elif fill_value != 0:
+            # native path zero-fills; patch non-zero fills on the border
+            mask = np.zeros((h, w), bool)
+            rc0, cc0 = max(r0, 0), max(c0, 0)
+            rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
+            mask[rc0 - r0 : max(rc1 - r0, 0), cc0 - c0 : max(cc1 - c0, 0)] = True
+            out[:, ~mask] = fill_value
+        if indexes is not None:
+            sel = [i - 1 for i in indexes]
+            out = out[sel]
+        return np.ascontiguousarray(out)
+
+    def read_patches(self, rowcols, win=11, clip=10, size=11):
+        """[N, size, size, clipped_bands] float32 model-ready patches for N
+        (row, col) window anchors — the multithreaded hot path."""
+        rowcols = np.ascontiguousarray(np.asarray(rowcols, np.int64))
+        n = len(rowcols)
+        nb = self.count - 2 * clip if self.count > 3 else self.count
+        out = np.empty((n, size, size, nb), np.float32)
+        rc = self._lib.dta_tiff_read_patches(
+            self._h,
+            rowcols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, win, win, clip, size,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc != 0:
+            raise IOError("native patch read failed for {}".format(self.path))
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.dta_tiff_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,81 @@
+"""Native C++ GeoTIFF decoder vs the numpy codec: bit-identical reads,
+model-ready patch parity with the Python preprocessing chain, and a
+throughput sanity margin."""
+import time
+
+import numpy as np
+import pytest
+
+from deeptreeattention_tpu.geo import affine, native, raster
+from deeptreeattention_tpu.ops.preprocess import preprocess_image_np
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
+
+
+@pytest.fixture(scope="module")
+def big_tile(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 10000, size=(28, 400, 500)).astype(np.int16)
+    t = affine.from_origin(726000.0, 4699400.0, 1.0, 1.0)
+    path = str(tmp_path_factory.mktemp("native") / "tile.tif")
+    raster.write_raster(path, arr, transform=t, crs=32617, tiled=True,
+                        tile_size=128, compress="deflate")
+    return path, arr
+
+
+def test_metadata_and_full_read(big_tile):
+    path, arr = big_tile
+    with native.NativeRaster(path) as src:
+        assert (src.width, src.height, src.count) == (500, 400, 28)
+        assert src.crs == 32617
+        assert src.dtype == np.int16
+        np.testing.assert_array_equal(src.read(), arr)
+
+
+def test_windowed_and_boundless_reads_match_numpy(big_tile):
+    path, arr = big_tile
+    with native.NativeRaster(path) as nsrc, raster.open_raster(path) as psrc:
+        for win in [affine.Window(100, 50, 30, 40), affine.Window(-5, -5, 20, 20),
+                    affine.Window(480, 380, 40, 40)]:
+            np.testing.assert_array_equal(
+                nsrc.read(window=win, boundless=True),
+                psrc.read(window=win, boundless=True),
+            )
+            np.testing.assert_array_equal(
+                nsrc.read(window=win), psrc.read(window=win)
+            )
+
+
+def test_patches_match_python_chain(big_tile):
+    path, arr = big_tile
+    anchors = [(10, 10), (200, 300), (395, 495)]  # includes edge overhang
+    with native.NativeRaster(path) as src:
+        patches = src.read_patches(anchors, win=11, clip=10, size=11)
+    assert patches.shape == (3, 11, 11, 8)
+    for i, (r, c) in enumerate(anchors):
+        win = np.zeros((28, 11, 11), np.int16)
+        rr = min(11, 400 - r)
+        cc = min(11, 500 - c)
+        win[:, :rr, :cc] = arr[:, r : r + 11, c : c + 11]
+        expected = preprocess_image_np(
+            np.moveaxis(win, 0, -1).astype(np.float32), image_size=11
+        )
+        np.testing.assert_allclose(patches[i], expected, atol=1e-5)
+
+
+def test_patch_throughput(big_tile):
+    path, _ = big_tile
+    rng = np.random.RandomState(1)
+    anchors = np.stack(
+        [rng.randint(0, 390, 2000), rng.randint(0, 490, 2000)], axis=1
+    )
+    with native.NativeRaster(path) as src:
+        src.read_patches(anchors[:10])  # warm
+        t0 = time.perf_counter()
+        out = src.read_patches(anchors)
+        dt = time.perf_counter() - t0
+    assert out.shape[0] == 2000
+    rate = 2000 / dt
+    # loose sanity bound; typical rates are orders of magnitude higher
+    assert rate > 2000, "native patch rate {:.0f}/s too slow".format(rate)

@@ -1,0 +1,87 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel
+sharding, year-model parallelism, prefetch, and single-vs-multi-device
+numerical equivalence of a training step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeptreeattention_tpu.models.year import LearnedEnsemble
+from deeptreeattention_tpu.parallel import mesh as mesh_mod
+from deeptreeattention_tpu.parallel import train as ptrain
+from deeptreeattention_tpu.train import optim, steps
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_make_mesh_and_shard_batch(eight_devices):
+    mesh = mesh_mod.make_mesh(8)
+    batch = {"HSI": np.random.rand(12, 4, 4, 3).astype(np.float32),
+             "label": np.arange(12, dtype=np.int32),
+             "individual": np.array(["i%d" % i for i in range(12)])}
+    placed = mesh_mod.shard_batch(batch, mesh)
+    # padded to a multiple of 8 and sharded on the leading axis
+    assert placed["HSI"].shape[0] == 16
+    assert len(placed["HSI"].sharding.device_set) == 8
+    # strings stay host-side
+    assert isinstance(placed["individual"], np.ndarray)
+
+
+def test_prefetch_to_device(eight_devices):
+    mesh = mesh_mod.make_mesh(8)
+    batches = [{"x": np.full((8, 2), i, np.float32)} for i in range(5)]
+    out = list(mesh_mod.prefetch_to_device(iter(batches), size=2, mesh=mesh))
+    assert len(out) == 5
+    assert float(out[3]["x"][0, 0]) == 3.0
+
+
+def test_sharded_step_matches_single_device(eight_devices):
+    """One DP x year-parallel step == the same step on one device."""
+    years, classes, bands, batch = 4, 3, 6, 16
+    model = LearnedEnsemble(years=years, classes=classes, bands=bands)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, years, 11, 11, bands), jnp.float32)
+    y = jnp.asarray(rng.randint(0, classes, batch), jnp.int32)
+    mask = jnp.ones(batch)
+    weights = jnp.ones(classes)
+
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    optimizer = optim.adam_with_plateau(1e-3)
+    opt_state = optimizer.init(variables["params"])
+    step = steps.make_train_step(model.apply, optimizer)
+
+    # single device
+    p1, s1, o1, loss1 = step(variables["params"], variables["batch_stats"], opt_state,
+                             x, y, mask, weights)
+
+    # 4 data x 2 model mesh
+    mesh = ptrain.make_mesh_2d(8, model_parallel=2)
+    with mesh:
+        params = ptrain.place_variables(variables["params"], mesh)
+        stats = ptrain.place_variables(variables["batch_stats"], mesh)
+        opt = ptrain.place_variables(optimizer.init(variables["params"]), mesh)
+        placed = ptrain.place_batch({"x": x, "y": y, "m": mask}, mesh)
+        p2, s2, o2, loss2 = step(params, stats, opt,
+                                 placed["x"], placed["y"], placed["m"], weights)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    k1 = np.asarray(p1["year_models"]["conv1"]["conv"]["kernel"])
+    k2 = np.asarray(jax.device_get(p2["year_models"]["conv1"]["conv"]["kernel"]))
+    np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
+
+
+def test_year_params_actually_sharded(eight_devices):
+    years, bands = 4, 6
+    model = LearnedEnsemble(years=years, classes=3, bands=bands)
+    x = jnp.zeros((1, years, 11, 11, bands))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    mesh = ptrain.make_mesh_2d(8, model_parallel=2)
+    placed = ptrain.place_variables(variables["params"], mesh)
+    kernel = placed["year_models"]["conv1"]["conv"]["kernel"]
+    spec = kernel.sharding.spec
+    assert spec[0] == "model"
