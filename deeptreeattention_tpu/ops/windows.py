@@ -1,0 +1,108 @@
+"""On-device window extraction from whole tiles.
+
+The reference materializes per-crown crops as files and reloads them
+(reference src/generate.py:243-373, src/patches.py:50-83). The TPU-native
+fast path streams a tile (or tile slab) into HBM once and gathers every
+11x11 window on device — window extraction, preprocessing, and the model
+forward fuse into one XLA program, and the window axis shards over the mesh
+like any batch axis.
+
+Shapes are static: callers pad the anchor list to a fixed budget and mask.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeptreeattention_tpu.ops.preprocess import minmax_scale_pixels
+
+
+def extract_windows(tile, anchors, size=11):
+    """Gather [N, size, size, C] windows from a [H, W, C] tile.
+
+    anchors: [N, 2] int32 (row, col) top-left corners, pre-clamped or not —
+    they are clamped here so edge windows stay in-bounds (reference uses
+    boundless zero-padded reads; clamping keeps real data instead and is
+    masked out by the caller when exact parity is required).
+    """
+    h, w, _ = tile.shape
+    anchors = jnp.asarray(anchors, jnp.int32)
+    rows = jnp.clip(anchors[:, 0], 0, h - size)
+    cols = jnp.clip(anchors[:, 1], 0, w - size)
+
+    def one(r, c):
+        return jax.lax.dynamic_slice(tile, (r, c, 0), (size, size, tile.shape[2]))
+
+    return jax.vmap(one)(rows, cols)
+
+
+def preprocess_windows(windows, clip=10):
+    """Band-clip + per-pixel min-max on gathered windows (fused under jit)."""
+    if windows.shape[-1] > 3 and clip:
+        windows = windows[..., clip:-clip]
+    return minmax_scale_pixels(windows.astype(jnp.float32))
+
+
+def crown_pixel_anchors(bounds_list, transform, size=11, budget=None):
+    """Host-side: crown UTM bounds -> (anchors [N,2], crown_ids [N]).
+
+    Every pixel whose center lies inside a crown's bounds contributes one
+    window anchored at that pixel (reference per-pixel window semantics,
+    src/patches.py:50-83). Returns padded arrays when budget is given.
+    """
+    anchors = []
+    crown_ids = []
+    for ci, (left, bottom, right, top) in enumerate(bounds_list):
+        r0, c0 = transform.rowcol(left, top)
+        r1, c1 = transform.rowcol(right, bottom)
+        for r in range(min(r0, r1), max(r0, r1)):
+            for c in range(min(c0, c1), max(c0, c1)):
+                anchors.append((r, c))
+                crown_ids.append(ci)
+    anchors = np.asarray(anchors, np.int32).reshape(-1, 2)
+    crown_ids = np.asarray(crown_ids, np.int32)
+    mask = np.ones(len(crown_ids), bool)
+    if budget is not None:
+        if len(anchors) > budget:
+            anchors, crown_ids, mask = anchors[:budget], crown_ids[:budget], mask[:budget]
+        else:
+            pad = budget - len(anchors)
+            anchors = np.concatenate([anchors, np.zeros((pad, 2), np.int32)])
+            crown_ids = np.concatenate([crown_ids, np.full(pad, -1, np.int32)])
+            mask = np.concatenate([mask, np.zeros(pad, bool)])
+    return anchors, crown_ids, mask
+
+
+def aggregate_crown_scores(probs, crown_ids, n_crowns, mask=None):
+    """Mean per-crown softmax over the crown's pixel windows (device-side
+    segment mean; the per-pixel -> per-crown reduction of the reference's
+    gather_predictions, kept on device)."""
+    probs = jnp.asarray(probs)
+    if mask is not None:
+        probs = probs * mask[:, None].astype(probs.dtype)
+        weights = mask.astype(probs.dtype)
+    else:
+        weights = jnp.ones(probs.shape[0], probs.dtype)
+    ids = jnp.clip(crown_ids, 0, n_crowns - 1)
+    sums = jax.ops.segment_sum(probs, ids, num_segments=n_crowns)
+    counts = jax.ops.segment_sum(weights, ids, num_segments=n_crowns)
+    return sums / jnp.maximum(counts[:, None], 1.0)
+
+
+def make_tile_predictor(apply_fn, size=11, clip=10):
+    """jit-compiled: (variables, tile, anchors, crown_ids, mask, n_crowns)
+    -> per-crown mean probabilities. One XLA program for the whole
+    tile-inference inner loop."""
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(5,))
+    def predict(variables, tile, anchors, crown_ids, mask, n_crowns):
+        windows = extract_windows(tile, anchors, size=size)
+        x = preprocess_windows(windows, clip=clip)
+        logits = apply_fn(variables, x)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[-1]
+        probs = jax.nn.softmax(logits, axis=-1)
+        return aggregate_crown_scores(probs, crown_ids, n_crowns, mask=mask)
+
+    return predict
