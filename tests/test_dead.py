@@ -1,0 +1,61 @@
+"""Alive/Dead model tests (pattern: reference tests/test_dead.py)."""
+import numpy as np
+import os
+
+import pytest
+
+from deeptreeattention_tpu.geo import vector
+from deeptreeattention_tpu.models import dead
+
+
+@pytest.fixture(scope="module")
+def model(config):
+    m = dead.AliveDead(config=config, depth=18)
+    m.fit(fast_dev_run=True)
+    return m
+
+
+def test_folder_dataset(config, fixtures_dir):
+    ds = dead.FolderDataset(os.path.join(fixtures_dir, "dead", "train"), augment=False)
+    assert len(ds) == 12
+    name, x, y = ds[0]
+    assert x.shape == (224, 224, 3)
+    assert y in (0, 1)
+
+
+def test_fit_and_validate(model, config, fixtures_dir):
+    val = model.validate(dead.FolderDataset(os.path.join(fixtures_dir, "dead", "test")))
+    assert np.isfinite(val["val_loss"])
+    assert {"Alive Accuracy", "Dead Accuracy"} <= set(val)
+
+
+def test_utm_dataset_and_predict(model, config, fixtures_dir):
+    crowns = vector.read_file(os.path.join(fixtures_dir, "artifact", "crowns.shp"))
+    crowns = crowns.head(4)
+    import glob
+
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    ds = dead.UTMDataset(crowns=crowns, config=config)
+    assert len(ds) == 4
+    name, x = ds[0]
+    assert x.shape == (224, 224, 3)
+    probs = model.predict_dataset(ds)
+    assert probs.shape == (4, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), np.ones(4), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(model, config, tmp_path):
+    path = str(tmp_path / "dead_ckpt")
+    model.save_checkpoint(path)
+    loaded = dead.AliveDead.load_from_checkpoint(path, config=config, depth=18)
+    x = np.random.RandomState(0).rand(2, 224, 224, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(model.predict_batch(x)), np.asarray(loaded.predict_batch(x)), atol=1e-6
+    )
+
+
+def test_dataset_confusion(model, config, fixtures_dir):
+    ds = dead.FolderDataset(os.path.join(fixtures_dir, "dead", "test"))
+    true, pred = model.dataset_confusion(ds)
+    assert true.shape == (len(ds), 2)
+    assert pred.shape == (len(ds), 2)

@@ -1,0 +1,136 @@
+"""TreeModel / metadata-fusion / backbone-transfer tests (patterns:
+reference tests/test_main-ish coverage via test_multi_stage, test_metadata,
+test_year backbone loading)."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
+from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
+from deeptreeattention_tpu.models.metadata import Metadata, MetadataSensorFusion, MetadataModel
+from deeptreeattention_tpu.models.year import LearnedEnsemble, load_year_backbones
+from deeptreeattention_tpu.train.treemodel import TreeModel
+
+
+@pytest.fixture(scope="module")
+def tm(config, dm):
+    cfg = dict(config)
+    cfg["n_years"] = 3
+    cfg["lr"] = 1e-3
+    model = LearnedEnsemble(years=3, classes=dm.num_classes, bands=cfg["bands"])
+    return TreeModel(
+        model=model, classes=dm.num_classes, label_dict=dm.species_label_dict, config=cfg
+    )
+
+
+def test_fit_and_predict_dataloader(tm, dm, config):
+    train_ds = TreeDataset(df=dm.train, config=config)
+    val_ds = TreeDataset(df=dm.test, config=config)
+    history = tm.fit(train_ds, val_ds, fast_dev_run=True)
+    assert np.isfinite(history[0]["train_loss"])
+    assert "Micro Accuracy" in history[0]
+
+    loader = Loader(val_ds, 8, pad_to_batch=True)
+    df = tm.predict_dataloader(loader)
+    assert {"pred_label_top1", "pred_taxa_top1", "top1_score", "individual", "label"} <= set(
+        df.columns
+    )
+    assert df.top1_score.between(0, 1).all()
+    assert (df.top1_score >= df.top2_score).all()
+
+
+def test_evaluate_crowns(tm, dm, config):
+    val_ds = TreeDataset(df=dm.test, config=config)
+    loader = Loader(val_ds, 8, pad_to_batch=True)
+    results = tm.evaluate_crowns(loader, crowns=dm.crowns)
+    assert "geometry" in results.columns
+    assert len(results) > 0
+
+
+def test_checkpoint_roundtrip(tm, tmp_path, config, dm):
+    path = str(tmp_path / "tm")
+    tm.save_checkpoint(path)
+    model2 = LearnedEnsemble(years=3, classes=dm.num_classes, bands=config["bands"])
+    cfg = dict(config)
+    cfg["n_years"] = 3
+    tm2 = TreeModel(model2, dm.num_classes, dm.species_label_dict, config=cfg)
+    tm2.load_checkpoint(path)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 11, 11, config["bands"]), jnp.float32)
+    np.testing.assert_allclose(np.asarray(tm.predict(x)), np.asarray(tm2.predict(x)), atol=1e-6)
+
+
+def test_metadata_modules(config, dm):
+    meta = Metadata(sites=3, classes=4)
+    variables = meta.init(jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32))
+    out = meta.apply(variables, jnp.asarray([0, 2]))
+    assert out.shape == (2, 4)
+
+    fusion = MetadataSensorFusion(bands=config["bands"], sites=3, classes=4)
+    fv = fusion.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 11, 11, config["bands"])), jnp.zeros((2,), jnp.int32),
+    )
+    out = fusion.apply(fv, jnp.ones((2, 11, 11, config["bands"])), jnp.asarray([0, 1]))
+    assert out.shape == (2, 4)
+
+
+def test_metadata_model_fit(config, dm):
+    cfg = dict(config)
+    cfg["lr"] = 1e-3
+    fusion = MetadataSensorFusion(
+        bands=cfg["bands"], sites=dm.num_sites, classes=dm.num_classes
+    )
+    mm = MetadataModel(
+        model=fusion, classes=dm.num_classes, label_dict=dm.species_label_dict, config=cfg
+    )
+
+    class SiteDataset(TreeDataset):
+        pass
+
+    ds = TreeDataset(df=dm.train, config=cfg)
+    sites = dm.train.set_index("individual").site.to_dict()
+
+    # wrap the loader to add "site" to batches
+    class SiteLoader(Loader):
+        def __iter__(self):
+            for batch in super().__iter__():
+                batch["site"] = np.array(
+                    [sites.get(i, 0) for i in batch["individual"]], np.int32
+                )
+                yield batch
+
+    loader = SiteLoader(ds, 4, pad_to_batch=True)
+    # drive one fused step directly
+    batch = next(iter(loader))
+    mm.key, rng = jax.random.split(mm.key)
+    images = jnp.asarray(batch["HSI"])[:, 0]
+    params, stats, opt_state, loss = mm._fusion_train_step(
+        mm.variables["params"], mm.variables.get("batch_stats", {}), mm.opt_state,
+        images, jnp.asarray(batch["site"]), jnp.asarray(batch["label"]),
+        jnp.asarray(batch["mask"]), mm.loss_weight, rng,
+    )
+    assert np.isfinite(float(loss))
+    probs = mm.predict({"HSI": batch["HSI"], "site": batch["site"]})
+    assert probs.shape[1] == dm.num_classes
+
+
+def test_year_backbone_broadcast(config):
+    bands = config["bands"]
+    backbone = SpectralNetwork(bands=bands, classes=4)
+    bvars = backbone.init(jax.random.PRNGKey(1), jnp.zeros((1, 11, 11, bands)))
+
+    model = LearnedEnsemble(years=3, classes=4, bands=bands)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 11, 11, bands)))
+    merged = load_year_backbones(variables, bvars, years=3)
+
+    k = np.asarray(merged["params"]["year_models"]["conv1"]["conv"]["kernel"])
+    assert k.shape[0] == 3
+    for y in range(3):
+        np.testing.assert_array_equal(k[y], np.asarray(bvars["params"]["conv1"]["conv"]["kernel"]))
+    # classifiers keep their per-year random init (not broadcast)
+    ck = np.asarray(merged["params"]["year_models"]["classifier1"]["fc1"]["kernel"])
+    assert not np.allclose(ck[0], ck[1])
