@@ -14,8 +14,10 @@ import numpy as np
 from deeptreeattention_tpu.geo import raster
 from deeptreeattention_tpu.geo.affine import from_origin
 
-# indices removed from the 426-band product (water absorption + detector edge)
-WATER_ABSORPTION_WINDOWS = [(419, 425), (283, 315), (192, 210)]
+# indices removed from the 426-band product: the final detector-edge band
+# plus the water-absorption windows (426 -> 369, reference
+# src/Hyperspectral.py:169-174 keeps bands 0:425 then deletes the windows)
+WATER_ABSORPTION_WINDOWS = [(419, 426), (283, 315), (192, 210)]
 
 
 def no_water_band_indexes(total=426):
