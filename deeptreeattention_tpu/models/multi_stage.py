@@ -35,11 +35,23 @@ PINE_GATE = "PIPA2"
 
 
 class MultiStage:
-    def __init__(self, train_df, test_df, crowns, config, train_mode=True, seed=0):
+    def __init__(self, train_df, test_df, crowns, config, train_mode=True, seed=0,
+                 mesh=None):
         self.config = config
         self.crowns = crowns
         self.rng = np.random.RandomState(seed)
         self.key = jax.random.PRNGKey(seed)
+        # data-parallel mesh: batches shard on the leading axis, params
+        # replicate; GSPMD inserts the gradient all-reduce over ICI
+        self.mesh = mesh
+        if mesh is None and config.get("mesh_devices") not in (None, 0, 1):
+            from deeptreeattention_tpu.parallel import make_mesh
+
+            n = config["mesh_devices"]
+            if n == -1:
+                n = len(jax.devices())
+            if n > 1:
+                self.mesh = make_mesh(n)
 
         self.train_df = train_df.copy() if train_df is not None else None
         self.test_df = test_df.copy() if test_df is not None else None
@@ -268,14 +280,25 @@ class MultiStage:
     # ------------------------------------------------------------------
     # training
     # ------------------------------------------------------------------
-    def fit(self, epochs=None, experiment=None, fast_dev_run=None):
+    def fit(self, epochs=None, experiment=None, fast_dev_run=None,
+            checkpoint_dir=None, checkpoint_every=10, resume_from=None):
+        """Train all levels; optional periodic checkpoints enable mid-training
+        recovery (resume_from: path of a periodic checkpoint)."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg["epochs"]
         fast = cfg.get("fast_dev_run") if fast_dev_run is None else fast_dev_run
         if fast:
             epochs = 1
+        start_epoch = 0
+        if resume_from:
+            restored = MultiStage.load_from_checkpoint(resume_from, config=cfg)
+            self.variables = restored.variables
+            self.schedulers = restored.schedulers
+            _, meta = checkpoints.load_checkpoint(resume_from)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info("resumed from %s at epoch %d", resume_from, start_epoch)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             train_losses = self._train_epoch(max_batches=1 if fast else None)
             val = self.validate(max_batches=1 if fast else None)
             for level in range(self.levels):
@@ -300,7 +323,23 @@ class MultiStage:
                 ["%.3f" % l for l in train_losses],
                 ["%.3f" % l for l in val["val_loss"]],
             )
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                path = self.save_checkpoint(
+                    "{}/epoch_{}".format(checkpoint_dir, epoch)
+                )
+                self._stamp_epoch(path, epoch)
         return history
+
+    def _stamp_epoch(self, path, epoch):
+        import json
+        import os
+
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["epoch"] = epoch
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
 
     def _train_epoch(self, max_batches=None):
         loaders = self.train_dataloader()
@@ -320,13 +359,12 @@ class MultiStage:
                         batch = next(iters[level])
                     except StopIteration:
                         continue
+                images, labels, mask = self._place(batch)
                 params, stats, opt_state, loss = self._train_steps[level](
                     self.variables[level]["params"],
                     self.variables[level].get("batch_stats", {}),
                     self.opt_states[level],
-                    jnp.asarray(batch["HSI"]),
-                    jnp.asarray(batch["label"]),
-                    jnp.asarray(batch["mask"]),
+                    images, labels, mask,
                     self.loss_weights[level],
                 )
                 self.variables[level] = {"params": params, "batch_stats": stats}
@@ -334,6 +372,22 @@ class MultiStage:
                 sums[level] += float(loss)
                 counts[level] += 1
         return (sums / np.maximum(counts, 1)).tolist()
+
+    def _place(self, batch):
+        """Shard a batch over the mesh (no-op single-device)."""
+        if self.mesh is None:
+            return (
+                jnp.asarray(batch["HSI"]),
+                jnp.asarray(batch["label"]),
+                jnp.asarray(batch["mask"]),
+            )
+        from deeptreeattention_tpu.parallel import shard_batch
+
+        placed = shard_batch(
+            {"HSI": batch["HSI"], "label": batch["label"], "mask": batch["mask"]},
+            self.mesh,
+        )
+        return placed["HSI"], placed["label"], placed["mask"]
 
     def validate(self, max_batches=None):
         val_losses = []

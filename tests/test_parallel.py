@@ -75,6 +75,16 @@ def test_sharded_step_matches_single_device(eight_devices):
     np.testing.assert_allclose(k1, k2, rtol=1e-4, atol=1e-6)
 
 
+def test_multistage_trains_on_mesh(eight_devices, dm, config):
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    mesh = mesh_mod.make_mesh(8)
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                   config=config, mesh=mesh)
+    history = m.fit(epochs=1, fast_dev_run=True)
+    assert all(np.isfinite(history[0]["train_loss"]))
+
+
 def test_year_params_actually_sharded(eight_devices):
     years, bands = 4, 6
     model = LearnedEnsemble(years=years, classes=3, bands=bands)
