@@ -25,11 +25,14 @@ class TreeDataset:
         self.train = train
         self.image_size = config["image_size"]
         self.bands = config["bands"]
+        # canonical year key is str: filenames yield "2019" while csv
+        # round-trips yield ints — normalize so lookups never silently miss
+        self.annotations["tile_year"] = self.annotations.tile_year.astype(str)
         # year axis: order of first appearance (reference semantics)
         if years is None:
             self.years = list(pd.unique(self.annotations.tile_year))
         else:
-            self.years = list(years)
+            self.years = [str(y) for y in years]
         self.individuals = list(pd.unique(self.annotations.individual))
         by_ind = self.annotations.groupby("individual")
         self.image_paths = {

@@ -59,7 +59,12 @@ class MultiStage:
             if df is not None and "individual" not in df.columns and "individualID" in df.columns:
                 df["individual"] = df["individualID"]
 
-        self.years = list(pd.unique(self.train_df.tile_year)) if self.train_df is not None else []
+        # canonical year keys are strings (see data/dataset.py)
+        self.years = (
+            [str(y) for y in pd.unique(self.train_df.tile_year)]
+            if self.train_df is not None
+            else []
+        )
         self.species_label_dict = (
             self.train_df[["taxonID", "label"]]
             .drop_duplicates()

@@ -42,6 +42,31 @@ def preprocess_windows(windows, clip=10):
     return minmax_scale_pixels(windows.astype(jnp.float32))
 
 
+def crown_resize_windows(tile, bounds_px, size=11):
+    """Per-crown crop + NEAREST resize as one device gather.
+
+    tile: [H, W, C]; bounds_px: [N, 4] int32 (row0, col0, height, width) pixel
+    rectangles. Returns [N, size, size, C] — bit-equal to cropping each
+    rectangle on host and NEAREST-resizing (ops.preprocess.nearest_resize /
+    reference load_image), with source indices clamped to the tile.
+    """
+    h, w, _ = tile.shape
+    bounds_px = jnp.asarray(bounds_px, jnp.int32)
+    r0, c0 = bounds_px[:, 0], bounds_px[:, 1]
+    hh = jnp.maximum(bounds_px[:, 2], 1)
+    ww = jnp.maximum(bounds_px[:, 3], 1)
+    grid = jnp.arange(size)
+    rows = r0[:, None] + (grid[None, :] * hh[:, None]) // size  # [N, size]
+    cols = c0[:, None] + (grid[None, :] * ww[:, None]) // size
+    rows = jnp.clip(rows, 0, h - 1)
+    cols = jnp.clip(cols, 0, w - 1)
+
+    def one(rr, cc):
+        return tile[rr[:, None], cc[None, :], :]
+
+    return jax.vmap(one)(rows, cols)
+
+
 def crown_pixel_anchors(bounds_list, transform, size=11, budget=None):
     """Host-side: crown UTM bounds -> (anchors [N,2], crown_ids [N]).
 

@@ -131,6 +131,84 @@ def predict_species(crowns, m, config):
     return results.merge(crowns, on="individual")
 
 
+def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
+    """Crop-file-free species prediction: stream the per-year HSI tiles to
+    HBM once, gather every crown window + NEAREST resize + preprocess on
+    device, and run all hierarchy levels — the TPU-native fast path that
+    replaces generate_prediction_crops + .npy reloading.
+
+    hsi_tile_paths: {tile_year: path} covering the crowns' tile. Years absent
+    from m.years are ignored; m.years absent here yield zero images (masked
+    out by the year ensemble).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.ops.preprocess import BAND_CLIP, minmax_scale_pixels
+    from deeptreeattention_tpu.ops.windows import crown_resize_windows
+
+    size = config["image_size"]
+    bands = config["bands"]
+
+    # pixel bounds per crown per year-tile (transforms can differ per year)
+    hsi_tile_paths = {str(y): p for y, p in hsi_tile_paths.items()}
+    tiles = {}
+    bounds_px = {}
+    for year, path in hsi_tile_paths.items():
+        with raster.open_raster(path) as src:
+            arr = src.read()  # [C, H, W]
+            t = src.transform
+        tiles[year] = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)), jnp.float32)
+        )
+        rect = []
+        for g in crowns.geometry:
+            left, bottom, right, top = g.bounds
+            r0, c0 = t.rowcol(left, top)
+            r1, c1 = t.rowcol(right, bottom)
+            rect.append((min(r0, r1), min(c0, c1),
+                         max(abs(r1 - r0), 1), max(abs(c1 - c0), 1)))
+        bounds_px[year] = np.asarray(rect, np.int32)
+
+    @jax.jit
+    def year_images(tile, rect):
+        win = crown_resize_windows(tile, rect, size=size)
+        if win.shape[-1] > 3:
+            win = win[..., BAND_CLIP:-BAND_CLIP]
+        return minmax_scale_pixels(win)
+
+    n = len(crowns)
+    outputs = []
+    individuals = np.asarray(crowns.individual)
+    for start in range(0, n, chunk):
+        idx = slice(start, min(start + chunk, n))
+        per_year = []
+        for year in m.years:
+            key = str(year)
+            if key in tiles:
+                per_year.append(year_images(tiles[key], bounds_px[key][idx]))
+            else:
+                per_year.append(
+                    jnp.zeros((idx.stop - idx.start, size, size, bands), jnp.float32)
+                )
+        images = jnp.stack(per_year, axis=1)  # [B, Y, S, S, C]
+        level_probs = [
+            np.asarray(
+                m._eval_steps[level](
+                    m.variables[level]["params"],
+                    m.variables[level].get("batch_stats", {}),
+                    images,
+                )
+            )
+            for level in range(m.levels)
+        ]
+        outputs.append((individuals[idx], level_probs))
+
+    results = m.gather_predictions(outputs)
+    results = m.ensemble(results)
+    return results.merge(crowns, on="individual")
+
+
 def predict_tile(crown_annotations, m, config, savedir, filter_dead=False, client=None):
     """One tile end-to-end from the crops sidecar -> predicted .shp."""
     crowns = (

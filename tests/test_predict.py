@@ -63,6 +63,10 @@ def test_predict_tile_end_to_end(rgb_tile, config, dead_model, m, tmp_path_facto
     )
     assert trees is not None
     assert {"ensembleTaxonID", "ens_score", "crown_area"} <= set(trees.columns)
+    # guard against the silent zero-image failure mode: scores must not all
+    # be the uniform-softmax value at every level
+    binary_uniform = 0.5
+    assert not np.allclose(trees.top1_score_level_0, binary_uniform)
     written = glob.glob(os.path.join(out_root, "results", "*.shp"))
     assert len(written) == 1
     out = vector.read_file(written[0])
