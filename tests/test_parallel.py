@@ -85,6 +85,22 @@ def test_multistage_trains_on_mesh(eight_devices, dm, config):
     assert all(np.isfinite(history[0]["train_loss"]))
 
 
+def test_shard_map_inference_matches_single(eight_devices):
+    from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
+    from deeptreeattention_tpu.parallel.inference import sharded_predict
+
+    model = SpectralNetwork(bands=6, classes=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(13, 11, 11, 6), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    apply_fn = lambda v, im: model.apply(v, im, train=False)
+
+    single = np.asarray(jax.nn.softmax(apply_fn(variables, x)[-1], axis=-1))
+    mesh = mesh_mod.make_mesh(8)
+    sharded = sharded_predict(apply_fn, mesh, variables, x)
+    assert sharded.shape == (13, 4)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_year_params_actually_sharded(eight_devices):
     years, bands = 4, 6
     model = LearnedEnsemble(years=years, classes=3, bands=bands)
