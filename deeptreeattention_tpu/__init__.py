@@ -17,3 +17,13 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("DTA_PLATFORM"):
+    # The axon sitecustomize force-selects the TPU platform at interpreter
+    # boot; DTA_PLATFORM=cpu (etc.) lets CLI runs and tests override it
+    # before any backend initializes.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DTA_PLATFORM"])

@@ -120,11 +120,19 @@ class AliveDead:
 
         self._train_step = steps.make_train_step(apply_sigmoid, self.optimizer)
         self._eval_step = steps.make_eval_step(apply_sigmoid)
+
         # prediction-time quirk preserved from the reference
-        # (src/predict.py:156): scores computed with batch statistics
-        self._eval_step_batch_stats = steps.make_eval_step(
-            lambda v, x, train=False: apply_sigmoid(v, x, train=False)
-        )
+        # (src/predict.py:156): the dead model is scored in train mode, i.e.
+        # BN uses the batch statistics (without persisting them)
+        @jax.jit
+        def eval_batch_stats(params, batch_stats, x):
+            probs, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return jax.nn.sigmoid(probs)
+
+        self._eval_step_batch_stats = eval_batch_stats
 
     # -- data ------------------------------------------------------------
     def _folder(self, which, augment):
@@ -200,17 +208,20 @@ class AliveDead:
 
     # -- inference ---------------------------------------------------------
     def predict_batch(self, xs, use_batch_stats=False):
-        probs = self._eval_step(
+        step = self._eval_step_batch_stats if use_batch_stats else self._eval_step
+        probs = step(
             self.variables["params"], self.variables.get("batch_stats", {}), jnp.asarray(xs)
         )
         return jax.nn.softmax(jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1)
 
-    def predict_dataset(self, ds, batch_size=None):
+    def predict_dataset(self, ds, batch_size=None, use_batch_stats=True):
+        """Dataset scoring; use_batch_stats=True keeps the reference's
+        train-mode-BN prediction behavior (src/predict.py:156)."""
         batch_size = batch_size or self.config["dead"]["batch_size"]
         outs = []
         for batch in self._batches(ds, batch_size):
             xs = batch[1]
-            outs.append(np.asarray(self.predict_batch(xs)))
+            outs.append(np.asarray(self.predict_batch(xs, use_batch_stats=use_batch_stats)))
         return np.concatenate(outs) if outs else np.zeros((0, 2))
 
     def dataset_confusion(self, ds, batch_size=8):

@@ -1,0 +1,69 @@
+"""CLI entry-script smoke tests: drive train.py / train_dead.py exactly as a
+user would (subprocess + -d JSON overrides), on the fixture artifact."""
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(script, overrides, root, extra_args=(), timeout=600):
+    env = dict(os.environ)
+    env["DTA_PLATFORM"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    cmd = [sys.executable, script, *extra_args, "-d", json.dumps(overrides)]
+    return subprocess.run(
+        cmd, cwd=root, env=env, capture_output=True, text=True, timeout=timeout
+    )
+
+
+@pytest.fixture(scope="module")
+def overrides(ROOT, fixtures_dir):
+    artifact = os.path.join(fixtures_dir, "artifact")
+    return {
+        "use_data_commit": "artifact",
+        "data_dir": fixtures_dir,
+        "csv_file": os.path.join(fixtures_dir, "sample_neon.csv"),
+        "rgb_sensor_pool": os.path.join(fixtures_dir, "rgb", "*.tif"),
+        "HSI_sensor_pool": os.path.join(fixtures_dir, "hsi", "*.tif"),
+        "CHM_pool": os.path.join(fixtures_dir, "chm", "*.tif"),
+        "bands": 8,
+        "batch_size": 4,
+        "workers": 0,
+        "epochs": 1,
+        "fast_dev_run": True,
+        "preload_images": False,
+        "convert_h5": False,
+        "min_CHM_height": None,
+        "megaplot_dir": None,
+        "iterations": 1,
+        "compute_dtype": "float32",
+        "plot_n_individuals": 0,
+        "snapshot_dir": "/tmp/dta_test_snapshots",
+        "dead": {
+            "train_dir": os.path.join(fixtures_dir, "dead", "train"),
+            "test_dir": os.path.join(fixtures_dir, "dead", "test"),
+            "epochs": 1, "lr": 0.0001,
+            "savedir": "/tmp/dta_test_snapshots/dead",
+            "batch_size": 2, "num_workers": 0,
+        },
+    }
+
+
+@pytest.mark.slow
+def test_train_entry(ROOT, overrides):
+    result = _run("train.py", overrides, ROOT, extra_args=["testbranch", "deadbeef"])
+    assert result.returncode == 0, result.stderr[-4000:]
+    # a checkpoint directory was written
+    snaps = glob.glob("/tmp/dta_test_snapshots/*/state.msgpack")
+    assert snaps, result.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_train_dead_entry(ROOT, overrides):
+    result = _run("train_dead.py", overrides, ROOT)
+    assert result.returncode == 0, result.stderr[-4000:]
+    snaps = glob.glob("/tmp/dta_test_snapshots/dead/*/state.msgpack")
+    assert snaps, result.stdout[-2000:]
