@@ -74,18 +74,18 @@ def prefetch_to_device(iterator, size=2, mesh=None, axis=None):
     """
     queue = collections.deque()
 
+    def _put(v):
+        arr = np.asarray(v)
+        return v if arr.dtype.kind in "US" else jax.device_put(arr)
+
     def enqueue(k):
         for batch in itertools.islice(iterator, k):
             if mesh is not None:
                 queue.append(shard_batch(batch, mesh, axis))
+            elif isinstance(batch, dict):
+                queue.append({k2: _put(v) for k2, v in batch.items()})
             else:
-                queue.append(
-                    {k2: (jax.device_put(v) if getattr(np.asarray(v), "dtype", None) is not None
-                          and np.asarray(v).dtype.kind not in "US" else v)
-                     for k2, v in batch.items()}
-                    if isinstance(batch, dict)
-                    else jax.device_put(batch)
-                )
+                queue.append(jax.device_put(batch))
 
     enqueue(size)
     while queue:

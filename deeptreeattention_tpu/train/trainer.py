@@ -42,11 +42,9 @@ class Trainer:
             log.info("fit wall-clock: %.1fs", time.time() - t0)
         return self.history
 
-    def validate(self, module=None, **kwargs):
+    def validate(self, module=None, *args, **kwargs):
         module = module or self.module
-        return module.validate(**kwargs) if kwargs else module.validate(
-            *([module._folder("test", False)] if hasattr(module, "_folder") else [])
-        )
+        return module.validate(*args, **kwargs)
 
     def predict(self, module=None, dataloaders=None):
         module = module or self.module
