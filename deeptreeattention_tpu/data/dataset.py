@@ -42,6 +42,12 @@ class TreeDataset:
             self.labels = self.annotations.set_index("individual").label.to_dict()
         else:
             self.labels = None
+        # site metadata (for the metadata-fusion models) when present
+        self.sites = (
+            self.annotations.groupby("individual", sort=False).site.first().to_dict()
+            if "site" in self.annotations.columns
+            else None
+        )
 
         self._preloaded = None
         if config.get("preload_images"):
@@ -124,6 +130,10 @@ class Loader:
             batch = {"individual": individuals, "HSI": images}
             if self.ds.train:
                 batch["label"] = np.array([it[2] for it in items], np.int32)
+            if getattr(self.ds, "sites", None) is not None:
+                batch["site"] = np.array(
+                    [int(self.ds.sites.get(i, 0)) for i in individuals], np.int32
+                )
             mask = np.ones(len(items), bool)
             if self.pad and len(items) < bs:
                 padn = bs - len(items)
@@ -132,6 +142,8 @@ class Loader:
                 )
                 if "label" in batch:
                     batch["label"] = np.concatenate([batch["label"], np.zeros(padn, np.int32)])
+                if "site" in batch:
+                    batch["site"] = np.concatenate([batch["site"], np.zeros(padn, np.int32)])
                 batch["individual"] = np.concatenate([individuals, np.array(["__pad__"] * padn)])
                 mask = np.concatenate([mask, np.zeros(padn, bool)])
             batch["mask"] = mask

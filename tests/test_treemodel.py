@@ -88,22 +88,8 @@ def test_metadata_model_fit(config, dm):
         model=fusion, classes=dm.num_classes, label_dict=dm.species_label_dict, config=cfg
     )
 
-    class SiteDataset(TreeDataset):
-        pass
-
     ds = TreeDataset(df=dm.train, config=cfg)
-    sites = dm.train.set_index("individual").site.to_dict()
-
-    # wrap the loader to add "site" to batches
-    class SiteLoader(Loader):
-        def __iter__(self):
-            for batch in super().__iter__():
-                batch["site"] = np.array(
-                    [sites.get(i, 0) for i in batch["individual"]], np.int32
-                )
-                yield batch
-
-    loader = SiteLoader(ds, 4, pad_to_batch=True)
+    loader = Loader(ds, 4, pad_to_batch=True)  # batches carry "site" natively
     # drive one fused step directly
     batch = next(iter(loader))
     mm.key, rng = jax.random.split(mm.key)
