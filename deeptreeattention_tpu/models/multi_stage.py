@@ -233,6 +233,13 @@ class MultiStage:
         self._eval_steps = []
         self._val_steps = []
 
+        # optional pre-trained spectral backbone broadcast into every year
+        # slot of every level (reference src/models/year.py:17-18)
+        backbone = None
+        pre = cfg.get("pretrain_state_dict")
+        if pre:
+            backbone = self._load_backbone(pre)
+
         sample = jnp.zeros(
             (1, len(self.years), cfg["image_size"], cfg["image_size"], cfg["bands"]),
             jnp.float32,
@@ -244,6 +251,10 @@ class MultiStage:
             )
             self.key, sub = jax.random.split(self.key)
             variables = model.init(sub, sample)
+            if backbone is not None:
+                from deeptreeattention_tpu.models.year import load_year_backbones
+
+                variables = load_year_backbones(variables, backbone, len(self.years))
             lr = cfg.get("lr_{}".format(level), 1e-5)
             optimizer = optim.adam_with_plateau(lr)
             opt_state = optimizer.init(variables["params"])
@@ -259,6 +270,19 @@ class MultiStage:
             self._train_steps.append(steps.make_train_step(model.apply, optimizer))
             self._eval_steps.append(steps.make_eval_step(model.apply))
             self._val_steps.append(steps.make_loss_eval_step(model.apply))
+
+    @staticmethod
+    def _load_backbone(path):
+        """Backbone variables from a torch .pt state_dict or one of our
+        checkpoint directories."""
+        import os
+
+        if os.path.isdir(path):
+            tree, _ = checkpoints.load_checkpoint(path)
+            return tree
+        from deeptreeattention_tpu.train import torch_import
+
+        return torch_import.import_spectral_only(path)
 
     # ------------------------------------------------------------------
     # loaders
@@ -319,6 +343,10 @@ class MultiStage:
                     )
                     experiment.log_metric(
                         "val_loss_{}".format(level), val["val_loss"][level], epoch=epoch
+                    )
+                    # learning-rate monitor equivalent (reference train.py:88)
+                    experiment.log_metric(
+                        "lr_{}".format(level), self.schedulers[level].lr, epoch=epoch
                     )
                 for level, md in enumerate(val["metrics"]):
                     experiment.log_metrics(md, prefix="level_{}".format(level), epoch=epoch)

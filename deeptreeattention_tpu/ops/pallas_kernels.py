@@ -102,10 +102,14 @@ def _conv3x3_relu(x, w, b, compute_dtype):
 
 
 def _maxpool2(x):
+    # pairwise max of stride-2 slices (Mosaic rejects the 6-D reshape form)
     bt, h, w, f = x.shape
     h2, w2 = h // 2, w // 2
-    v = x[:, : h2 * 2, : w2 * 2, :].reshape(bt, h2, 2, w2, 2, f)
-    return jnp.max(v, axis=(2, 4))
+    a = x[:, 0 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]
+    b = x[:, 1 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]
+    c = x[:, 0 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]
+    d = x[:, 1 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
 
 
 def _attend(x, w1, b1, w2, b2, compute_dtype):

@@ -54,6 +54,31 @@ def test_predict_gather_ensemble(m, dm, config):
     assert "ens_label" in scored.columns
 
 
+def test_pretrain_backbone_broadcast(dm, config, tmp_path):
+    """pretrain_state_dict: a saved spectral backbone seeds every year model
+    of every level."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
+    from deeptreeattention_tpu.train import checkpoints
+
+    backbone = SpectralNetwork(bands=config["bands"], classes=4)
+    bvars = backbone.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 11, 11, config["bands"]))
+    )
+    path = str(tmp_path / "backbone")
+    checkpoints.save_checkpoint(path, dict(bvars))
+
+    cfg = dict(config)
+    cfg["pretrain_state_dict"] = path
+    m2 = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=cfg)
+    k = np.asarray(m2.variables[0]["params"]["year_models"]["conv1"]["conv"]["kernel"])
+    expected = np.asarray(bvars["params"]["conv1"]["conv"]["kernel"])
+    for y in range(k.shape[0]):
+        np.testing.assert_array_equal(k[y], expected)
+
+
 def test_checkpoint_roundtrip(m, dm, config, tmp_path):
     path = str(tmp_path / "snapshot")
     m.save_checkpoint(path)
