@@ -36,11 +36,11 @@ STAGE_FILTERS = (32, 64, 128)
 # ---------------------------------------------------------------------------
 
 def fold_bn(kernel, bias, scale, beta, mean, var, eps=1e-5):
-    """Fold eval-mode BatchNorm into conv kernel+bias."""
-    s = scale / np.sqrt(np.asarray(var) + eps)
-    folded_kernel = np.asarray(kernel) * s  # [kh, kw, cin, cout] * [cout]
-    folded_bias = (np.asarray(bias) - np.asarray(mean)) * s + np.asarray(beta)
-    return folded_kernel.astype(np.float32), folded_bias.astype(np.float32)
+    """Fold eval-mode BatchNorm into conv kernel+bias (jnp: traceable)."""
+    s = jnp.asarray(scale) / jnp.sqrt(jnp.asarray(var) + eps)
+    folded_kernel = jnp.asarray(kernel) * s  # [kh, kw, cin, cout] * [cout]
+    folded_bias = (jnp.asarray(bias) - jnp.asarray(mean)) * s + jnp.asarray(beta)
+    return folded_kernel.astype(jnp.float32), folded_bias.astype(jnp.float32)
 
 
 def pack_spectral_params(variables):
@@ -101,15 +101,48 @@ def _conv3x3_relu(x, w, b, compute_dtype):
     return jnp.maximum(out + b, 0.0)
 
 
-def _maxpool2(x):
-    # pairwise max of stride-2 slices (Mosaic rejects the 6-D reshape form)
+def _maxpool2(x, idx=None):
+    """2x2/stride-2 max pool (torch floor semantics).
+
+    Mosaic supports neither 6-D reshapes nor strided 4-D slices, so on the
+    compiled path the pool is four flat 2-D row-gathers (`idx`: [BT*H2*W2, 4]
+    rows into the flattened [BT*H*W] pixel axis, built host-side). Without
+    `idx` (interpret/tests) the reshape form is used.
+    """
     bt, h, w, f = x.shape
     h2, w2 = h // 2, w // 2
-    a = x[:, 0 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]
-    b = x[:, 1 : 2 * h2 : 2, 0 : 2 * w2 : 2, :]
-    c = x[:, 0 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]
-    d = x[:, 1 : 2 * h2 : 2, 1 : 2 * w2 : 2, :]
-    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    if idx is None:
+        v = x[:, : h2 * 2, : w2 * 2, :].reshape(bt, h2, 2, w2, 2, f)
+        return jnp.max(v, axis=(2, 4))
+    flat = x.reshape(bt * h * w, f)
+
+    def rows(k):
+        # take_along_axis form: per-lane indices shaped like the output
+        # (the gather pattern Mosaic supports)
+        idx2d = jnp.broadcast_to(idx[:, k][:, None], (idx.shape[0], f))
+        return jnp.take_along_axis(flat, idx2d, axis=0)
+
+    pooled = jnp.maximum(
+        jnp.maximum(rows(0), rows(1)), jnp.maximum(rows(2), rows(3))
+    )
+    return pooled.reshape(bt, h2, w2, f)
+
+
+def pool_indices(bt, h, w):
+    """Host-side gather rows for _maxpool2: [bt*h2*w2, 4] int32."""
+    h2, w2 = h // 2, w // 2
+    b, i, j = np.meshgrid(np.arange(bt), np.arange(h2), np.arange(w2), indexing="ij")
+    base = b * (h * w)
+    out = np.stack(
+        [
+            base + (2 * i) * w + 2 * j,
+            base + (2 * i + 1) * w + 2 * j,
+            base + (2 * i) * w + 2 * j + 1,
+            base + (2 * i + 1) * w + 2 * j + 1,
+        ],
+        axis=-1,
+    )
+    return out.reshape(-1, 4).astype(np.int32)
 
 
 def _attend(x, w1, b1, w2, b2, compute_dtype):
@@ -134,7 +167,7 @@ def _attend(x, w1, b1, w2, b2, compute_dtype):
     return gated, jnp.mean(gated, axis=(1, 2))
 
 
-def _spectral_body(x, weights, compute_dtype):
+def _spectral_body(x, weights, compute_dtype, pool_idx=(None, None)):
     """Full ladder on a VMEM-resident batch tile; returns [BT, classes]."""
     (w1, b1, a1w1, a1b1, a1w2, a1b2,
      w2, b2, a2w1, a2b1, a2w2, a2b2,
@@ -146,11 +179,11 @@ def _spectral_body(x, weights, compute_dtype):
     x, _ = _attend(x, a1w1, a1b1, a1w2, a1b2, compute_dtype)
     # stage 2 (conv on 11x11 then pool -> 5)
     x = _conv3x3_relu(x, w2, b2, compute_dtype)
-    x = _maxpool2(x)
+    x = _maxpool2(x, pool_idx[0])
     x, _ = _attend(x, a2w1, a2b1, a2w2, a2b2, compute_dtype)
     # stage 3 (conv on 5x5 then pool -> 2)
     x = _conv3x3_relu(x, w3, b3, compute_dtype)
-    x = _maxpool2(x)
+    x = _maxpool2(x, pool_idx[1])
     x, feats = _attend(x, a3w1, a3b1, a3w2, a3b2, compute_dtype)
 
     return jax.lax.dot_general(
@@ -177,12 +210,19 @@ def spectral_infer(variables, x, batch_tile=128, compute_dtype=jnp.bfloat16,
     bt = min(batch_tile, b)
     assert b % bt == 0, "batch {} not divisible by tile {}".format(b, bt)
 
+    # gather-row tables for the two pools (Mosaic-friendly pooling)
+    idx1 = jnp.asarray(pool_indices(bt, h, w))
+    idx2 = jnp.asarray(pool_indices(bt, h // 2, w // 2))
+    inputs = params + (idx1, idx2)
+
     def kernel(x_ref, *refs):
-        weight_refs, out_ref = refs[:-1], refs[-1]
+        weight_refs = refs[: len(params)]
+        idx1_ref, idx2_ref, out_ref = refs[len(params):]
         scores = _spectral_body(
             x_ref[...].astype(jnp.float32),
             tuple(r[...] for r in weight_refs),
             compute_dtype,
+            pool_idx=(idx1_ref[...], idx2_ref[...]),
         )
         out_ref[...] = scores
 
@@ -192,14 +232,14 @@ def spectral_infer(variables, x, batch_tile=128, compute_dtype=jnp.bfloat16,
             memory_space=pltpu.VMEM,
         )
 
-    weight_specs = [_spec(p) for p in params]
+    input_specs = [_spec(p) for p in inputs]
     return pl.pallas_call(
         kernel,
         grid=(b // bt,),
         in_specs=[
             pl.BlockSpec((bt, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        ] + weight_specs,
+        ] + input_specs,
         out_specs=pl.BlockSpec((bt, classes), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, classes), jnp.float32),
         interpret=interpret,
-    )(x, *params)
+    )(x, *inputs)
