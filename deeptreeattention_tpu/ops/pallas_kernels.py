@@ -115,12 +115,13 @@ def _maxpool2(x, idx=None):
         v = x[:, : h2 * 2, : w2 * 2, :].reshape(bt, h2, 2, w2, 2, f)
         return jnp.max(v, axis=(2, 4))
     flat = x.reshape(bt * h * w, f)
+    m = bt * h2 * w2
 
     def rows(k):
-        # take_along_axis form: per-lane indices shaped like the output
-        # (the gather pattern Mosaic supports)
-        idx2d = jnp.broadcast_to(idx[:, k][:, None], (idx.shape[0], f))
-        return jnp.take_along_axis(flat, idx2d, axis=0)
+        # Mosaic supports only same-shape gathers: permute the full row set
+        # so the pooled sources land in the first m rows, then slice.
+        idx2d = jnp.broadcast_to(idx[:, k][:, None], (flat.shape[0], f))
+        return jnp.take_along_axis(flat, idx2d, axis=0)[:m]
 
     pooled = jnp.maximum(
         jnp.maximum(rows(0), rows(1)), jnp.maximum(rows(2), rows(3))
@@ -129,11 +130,17 @@ def _maxpool2(x, idx=None):
 
 
 def pool_indices(bt, h, w):
-    """Host-side gather rows for _maxpool2: [bt*h2*w2, 4] int32."""
+    """Host-side same-shape gather permutations for _maxpool2.
+
+    Returns [bt*h*w, 4] int32: rows < bt*(h//2)*(w//2) hold the four 2x2
+    source rows for that pooled position; remaining rows self-map (they are
+    sliced away after the gather)."""
     h2, w2 = h // 2, w // 2
+    n = bt * h * w
+    m = bt * h2 * w2
     b, i, j = np.meshgrid(np.arange(bt), np.arange(h2), np.arange(w2), indexing="ij")
     base = b * (h * w)
-    out = np.stack(
+    taps = np.stack(
         [
             base + (2 * i) * w + 2 * j,
             base + (2 * i + 1) * w + 2 * j,
@@ -141,8 +148,10 @@ def pool_indices(bt, h, w):
             base + (2 * i + 1) * w + 2 * j + 1,
         ],
         axis=-1,
-    )
-    return out.reshape(-1, 4).astype(np.int32)
+    ).reshape(m, 4)
+    out = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, 4))
+    out[:m] = taps
+    return out.astype(np.int32)
 
 
 def _attend(x, w1, b1, w2, b2, compute_dtype):
