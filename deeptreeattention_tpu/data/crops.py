@@ -105,23 +105,41 @@ def generate_crops(gdf, sensor_glob, savedir, rgb_glob, client=None, convert_h5=
 
     indexes, filenames = [], []
     if client is not None:
-        futures, fut_index = [], []
-        for index, row in gdf.iterrows():
-            for img_path in tile_to_path.get(row["geo_index"], []):
-                futures.append(
-                    client.submit(
-                        write_crop, row=row, img_path=img_path, savedir=savedir,
-                        replace=replace, as_numpy=as_numpy,
+        # one task per (tile, crown-chunk): the tile is opened once per task
+        # so its decoded segments are shared across the chunk's crops
+        def crop_chunk(rows, img_path):
+            out = []
+            with raster.open_raster(img_path) as src:
+                for index, row in rows:
+                    try:
+                        fn = write_crop(
+                            row=row, savedir=savedir, img_path=img_path,
+                            replace=replace, src=src, as_numpy=as_numpy,
+                        )
+                        out.append((index, fn))
+                    except Exception as e:
+                        log.warning("index %s failed with %s", index, e)
+            return out
+
+        futures = []
+        chunk_size = 256
+        for geo_index, paths in tile_to_path.items():
+            tile_rows = list(gdf[gdf.geo_index == geo_index].iterrows())
+            for img_path in paths:
+                for start in range(0, len(tile_rows), chunk_size):
+                    futures.append(
+                        client.submit(
+                            crop_chunk, tile_rows[start : start + chunk_size], img_path
+                        )
                     )
-                )
-                fut_index.append(index)
         client.wait(futures)
-        for index, f in zip(fut_index, futures):
+        for f in futures:
             if f.exception() is not None:
                 log.warning("crop task failed: %s", f.exception())
                 continue
-            indexes.append(index)
-            filenames.append(f.result())
+            for index, fn in f.result():
+                indexes.append(index)
+                filenames.append(fn)
     else:
         # open each tile once, stream its crowns through it
         for geo_index, paths in tile_to_path.items():

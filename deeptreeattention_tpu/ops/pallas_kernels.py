@@ -101,57 +101,50 @@ def _conv3x3_relu(x, w, b, compute_dtype):
     return jnp.maximum(out + b, 0.0)
 
 
-def _maxpool2(x, idx=None):
+def _maxpool2(x, sel=None):
     """2x2/stride-2 max pool (torch floor semantics).
 
-    Mosaic supports neither 6-D reshapes nor strided 4-D slices, so on the
-    compiled path the pool is four flat 2-D row-gathers (`idx`: [BT*H2*W2, 4]
-    rows into the flattened [BT*H*W] pixel axis, built host-side). Without
-    `idx` (interpret/tests) the reshape form is used.
+    Mosaic supports neither 6-D reshapes, strided 4-D slices, nor cross-vreg
+    gathers, so on the compiled path pooling is four 0/1 SELECTION MATMULS on
+    the MXU (sel[k] maps flattened H*W pixels to pooled positions; one per
+    2x2 tap) combined with elementwise max — data movement expressed as
+    compute, the Mosaic-native formulation. Without `sel` (interpret/tests)
+    the reshape form is used.
     """
     bt, h, w, f = x.shape
     h2, w2 = h // 2, w // 2
-    if idx is None:
+    if sel is None:
         v = x[:, : h2 * 2, : w2 * 2, :].reshape(bt, h2, 2, w2, 2, f)
         return jnp.max(v, axis=(2, 4))
-    flat = x.reshape(bt * h * w, f)
-    m = bt * h2 * w2
+    m = h2 * w2
+    xf = x.reshape(bt, h * w, f)
 
-    def rows(k):
-        # Mosaic supports only same-shape gathers: permute the full row set
-        # so the pooled sources land in the first m rows, then slice.
-        idx2d = jnp.broadcast_to(idx[:, k][:, None], (flat.shape[0], f))
-        return jnp.take_along_axis(flat, idx2d, axis=0)[:m]
+    def tap(k):
+        s = jnp.broadcast_to(sel[k][None], (bt, m, h * w))
+        return jax.lax.dot_general(
+            s, xf,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
-    pooled = jnp.maximum(
-        jnp.maximum(rows(0), rows(1)), jnp.maximum(rows(2), rows(3))
-    )
+    pooled = jnp.maximum(jnp.maximum(tap(0), tap(1)), jnp.maximum(tap(2), tap(3)))
     return pooled.reshape(bt, h2, w2, f)
 
 
-def pool_indices(bt, h, w):
-    """Host-side same-shape gather permutations for _maxpool2.
-
-    Returns [bt*h*w, 4] int32: rows < bt*(h//2)*(w//2) hold the four 2x2
-    source rows for that pooled position; remaining rows self-map (they are
-    sliced away after the gather)."""
+def pool_selectors(h, w):
+    """Host-side [4, h2*w2, h*w] float32 0/1 selection matrices for
+    _maxpool2's matmul pooling (one matrix per 2x2 tap)."""
     h2, w2 = h // 2, w // 2
-    n = bt * h * w
-    m = bt * h2 * w2
-    b, i, j = np.meshgrid(np.arange(bt), np.arange(h2), np.arange(w2), indexing="ij")
-    base = b * (h * w)
-    taps = np.stack(
-        [
-            base + (2 * i) * w + 2 * j,
-            base + (2 * i + 1) * w + 2 * j,
-            base + (2 * i) * w + 2 * j + 1,
-            base + (2 * i + 1) * w + 2 * j + 1,
-        ],
-        axis=-1,
-    ).reshape(m, 4)
-    out = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, 4))
-    out[:m] = taps
-    return out.astype(np.int32)
+    m = h2 * w2
+    sel = np.zeros((4, m, h * w), np.float32)
+    for i in range(h2):
+        for j in range(w2):
+            dst = i * w2 + j
+            sel[0, dst, (2 * i) * w + 2 * j] = 1.0
+            sel[1, dst, (2 * i + 1) * w + 2 * j] = 1.0
+            sel[2, dst, (2 * i) * w + 2 * j + 1] = 1.0
+            sel[3, dst, (2 * i + 1) * w + 2 * j + 1] = 1.0
+    return sel
 
 
 def _attend(x, w1, b1, w2, b2, compute_dtype):
@@ -176,7 +169,7 @@ def _attend(x, w1, b1, w2, b2, compute_dtype):
     return gated, jnp.mean(gated, axis=(1, 2))
 
 
-def _spectral_body(x, weights, compute_dtype, pool_idx=(None, None)):
+def _spectral_body(x, weights, compute_dtype, pool_sel=(None, None)):
     """Full ladder on a VMEM-resident batch tile; returns [BT, classes]."""
     (w1, b1, a1w1, a1b1, a1w2, a1b2,
      w2, b2, a2w1, a2b1, a2w2, a2b2,
@@ -188,11 +181,11 @@ def _spectral_body(x, weights, compute_dtype, pool_idx=(None, None)):
     x, _ = _attend(x, a1w1, a1b1, a1w2, a1b2, compute_dtype)
     # stage 2 (conv on 11x11 then pool -> 5)
     x = _conv3x3_relu(x, w2, b2, compute_dtype)
-    x = _maxpool2(x, pool_idx[0])
+    x = _maxpool2(x, pool_sel[0])
     x, _ = _attend(x, a2w1, a2b1, a2w2, a2b2, compute_dtype)
     # stage 3 (conv on 5x5 then pool -> 2)
     x = _conv3x3_relu(x, w3, b3, compute_dtype)
-    x = _maxpool2(x, pool_idx[1])
+    x = _maxpool2(x, pool_sel[1])
     x, feats = _attend(x, a3w1, a3b1, a3w2, a3b2, compute_dtype)
 
     return jax.lax.dot_general(
@@ -219,19 +212,19 @@ def spectral_infer(variables, x, batch_tile=128, compute_dtype=jnp.bfloat16,
     bt = min(batch_tile, b)
     assert b % bt == 0, "batch {} not divisible by tile {}".format(b, bt)
 
-    # gather-row tables for the two pools (Mosaic-friendly pooling)
-    idx1 = jnp.asarray(pool_indices(bt, h, w))
-    idx2 = jnp.asarray(pool_indices(bt, h // 2, w // 2))
-    inputs = params + (idx1, idx2)
+    # selection matrices for the two matmul pools
+    sel1 = jnp.asarray(pool_selectors(h, w))
+    sel2 = jnp.asarray(pool_selectors(h // 2, w // 2))
+    inputs = params + (sel1, sel2)
 
     def kernel(x_ref, *refs):
         weight_refs = refs[: len(params)]
-        idx1_ref, idx2_ref, out_ref = refs[len(params):]
+        sel1_ref, sel2_ref, out_ref = refs[len(params):]
         scores = _spectral_body(
             x_ref[...].astype(jnp.float32),
             tuple(r[...] for r in weight_refs),
             compute_dtype,
-            pool_idx=(idx1_ref[...], idx2_ref[...]),
+            pool_sel=(sel1_ref[...], sel2_ref[...]),
         )
         out_ref[...] = scores
 
