@@ -99,6 +99,7 @@ class AliveDead:
 
     def __init__(self, config, depth=50, seed=0):
         self.config = config
+        self.depth = depth
         cfg = config["dead"]
         self.model = ResNet(num_classes=2, depth=depth)
         key = jax.random.PRNGKey(seed)
@@ -235,13 +236,14 @@ class AliveDead:
     # -- checkpointing ------------------------------------------------------
     def save_checkpoint(self, path):
         return checkpoints.save_checkpoint(
-            path, self.variables, {"scheduler_state": self.scheduler.state_dict()}
+            path, self.variables,
+            {"scheduler_state": self.scheduler.state_dict(), "depth": self.depth},
         )
 
     @classmethod
-    def load_from_checkpoint(cls, path, config, depth=50):
-        obj = cls(config, depth=depth)
+    def load_from_checkpoint(cls, path, config, depth=None):
         tree, meta = checkpoints.load_checkpoint(path)
+        obj = cls(config, depth=depth or int(meta.get("depth", 50)))
         obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
         if meta.get("scheduler_state"):
             obj.scheduler.load_state_dict(meta["scheduler_state"])

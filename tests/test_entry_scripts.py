@@ -67,3 +67,46 @@ def test_train_dead_entry(ROOT, overrides):
     assert result.returncode == 0, result.stderr[-4000:]
     snaps = glob.glob("/tmp/dta_test_snapshots/dead/*/state.msgpack")
     assert snaps, result.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_predict_entry(ROOT, overrides, m, config, tmp_path_factory):
+    """Full landscape sweep CLI: crowns -> dead scores -> crops -> species
+    shapefiles, idempotent across reruns."""
+    out_root = str(tmp_path_factory.mktemp("predict_cli"))
+    species_ckpt = os.path.join(out_root, "species_model")
+    m.save_checkpoint(species_ckpt)
+
+    from deeptreeattention_tpu.models import dead as dead_mod
+
+    dead_model = dead_mod.AliveDead(config=config, depth=18)
+    dead_ckpt = os.path.join(out_root, "dead_model")
+    dead_model.save_checkpoint(dead_ckpt)
+
+    ov = dict(overrides)
+    ov.update(
+        {
+            "site": "HARV",
+            "predict_year": "2019",
+            "results_dir": os.path.join(out_root, "results"),
+            "prediction_crop_dir": os.path.join(out_root, "crops"),
+            "species_model_paths": [species_ckpt],
+            "dead_model": dead_ckpt,
+            "dead_depth": 18,
+        }
+    )
+    result = _run("predict.py", ov, ROOT, timeout=900)
+    assert result.returncode == 0, result.stderr[-4000:]
+    shps = glob.glob(os.path.join(out_root, "results", "species_model", "*.shp"))
+    assert shps, result.stdout[-3000:] + result.stderr[-2000:]
+
+    from deeptreeattention_tpu.geo import vector
+
+    trees = vector.read_file(shps[0])
+    col = "ensembleTa" if "ensembleTa" in trees.columns else "ensembleTaxonID"
+    assert len(trees) > 0
+    assert trees[col].notna().all()
+
+    # idempotent rerun: outputs exist, so the sweep should be quick and clean
+    result2 = _run("predict.py", ov, ROOT, timeout=600)
+    assert result2.returncode == 0, result2.stderr[-3000:]
