@@ -7,3 +7,4 @@ from deeptreeattention_tpu.ops.preprocess import (
     preprocess_batch,
     train_augmentation,
 )
+from deeptreeattention_tpu.ops import windows  # noqa: F401
