@@ -380,7 +380,10 @@ class MultiStage:
         n_steps = max(len(l) for l in loaders)
         if max_batches:
             n_steps = min(n_steps, max_batches)
-        sums = np.zeros(self.levels)
+        # losses accumulate on device; ONE host sync per epoch (a per-step
+        # float() would add a host round-trip per step, which on the remote
+        # TPU relay dominates the step time)
+        sums = [jnp.float32(0.0) for _ in range(self.levels)]
         counts = np.zeros(self.levels)
         for step_i in range(n_steps):
             for level in range(self.levels):
@@ -402,9 +405,10 @@ class MultiStage:
                 )
                 self.variables[level] = {"params": params, "batch_stats": stats}
                 self.opt_states[level] = opt_state
-                sums[level] += float(loss)
+                sums[level] = sums[level] + loss
                 counts[level] += 1
-        return (sums / np.maximum(counts, 1)).tolist()
+        totals = np.asarray(jax.device_get(sums), dtype=np.float64)
+        return (totals / np.maximum(counts, 1)).tolist()
 
     def _place(self, batch):
         """Shard a batch over the mesh (no-op single-device)."""

@@ -61,7 +61,8 @@ class TreeModel:
                 train_ds, cfg["batch_size"], shuffle=True, seed=epoch,
                 pad_to_batch=cfg.get("pad_batches", True),
             )
-            losses = []
+            loss_sum = jnp.float32(0.0)
+            n_batches = 0
             for bi, batch in enumerate(loader):
                 if (fast_dev_run or cfg.get("fast_dev_run")) and bi > 0:
                     break
@@ -75,8 +76,9 @@ class TreeModel:
                     self.loss_weight,
                 )
                 self.variables = {"params": params, "batch_stats": stats}
-                losses.append(float(loss))
-            rec = {"epoch": epoch, "train_loss": float(np.mean(losses))}
+                loss_sum = loss_sum + loss  # device-side; one sync per epoch
+                n_batches += 1
+            rec = {"epoch": epoch, "train_loss": float(loss_sum) / max(n_batches, 1)}
             if val_ds is not None:
                 val_loss, metric_dict = self.validate(val_ds)
                 rec["val_loss"] = val_loss
