@@ -100,6 +100,13 @@ class NativeRaster:
         self.transform = Affine(tf[0], tf[1], tf[2], tf[3], tf[4], tf[5])
         self.res = (self.transform.a, -self.transform.e)
 
+    @property
+    def bounds(self):
+        west = self.transform.c
+        north = self.transform.f
+        return (west, north + self.height * self.transform.e,
+                west + self.width * self.transform.a, north)
+
     def read(self, window=None, boundless=False, fill_value=0, indexes=None):
         if window is None:
             r0, c0, h, w = 0, 0, self.height, self.width

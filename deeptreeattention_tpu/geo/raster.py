@@ -15,8 +15,24 @@ from deeptreeattention_tpu.geo.affine import (
 
 
 class Raster:
-    def __init__(self, path):
-        self._r = tiff.TiffReader(path)
+    """Raster handle; decodes via the C++ backend when built (bit-identical
+    to the numpy codec — asserted in tests/test_native.py), else pure numpy.
+    Set DTA_PY_TIFF=1 to force the numpy codec."""
+
+    def __init__(self, path, backend="auto"):
+        import os
+
+        self._r = None
+        if backend in ("auto", "native") and not os.environ.get("DTA_PY_TIFF"):
+            try:
+                from deeptreeattention_tpu.geo import native
+
+                if native.available():
+                    self._r = native.NativeRaster(path)
+            except Exception:
+                self._r = None
+        if self._r is None:
+            self._r = tiff.TiffReader(path)
         self.path = path
 
     # rasterio-compatible surface ------------------------------------------

@@ -16,9 +16,13 @@ tile out of VMEM:
 Weights arrive pre-folded (fold_bn_params): W' = W * s / sqrt(var+eps),
 b' = (b - mean) * s / sqrt(var+eps) + beta, so inference BN is free.
 
-A year-stacked variant grids over (year, batch-tile) and indexes the year
-axis of the stacked weights via BlockSpec index maps — the LearnedEnsemble
-forward without leaving VMEM per tile.
+Status: numerics are exact against the flax forward (interpret-mode parity
+tests). The compiled path is OPT-IN (`config["use_pallas"]`) and currently
+experimental: Mosaic-compatible formulations are in place for every op
+(matmul pooling, scatter-free conv accumulation), but remote-compile times
+for the whole-ladder kernel on this environment's tunnel are prohibitive, so
+the XLA path (which already exceeds the throughput target by ~10x) remains
+the default. Revisit as per-stage kernels if whole-ladder compile stays slow.
 """
 import functools
 

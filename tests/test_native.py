@@ -35,7 +35,8 @@ def test_metadata_and_full_read(big_tile):
 
 def test_windowed_and_boundless_reads_match_numpy(big_tile):
     path, arr = big_tile
-    with native.NativeRaster(path) as nsrc, raster.open_raster(path) as psrc:
+    # oracle: the pure-numpy codec (backend="py" bypasses the native path)
+    with native.NativeRaster(path) as nsrc, raster.Raster(path, backend="py") as psrc:
         for win in [affine.Window(100, 50, 30, 40), affine.Window(-5, -5, 20, 20),
                     affine.Window(480, 380, 40, 40)]:
             np.testing.assert_array_equal(
