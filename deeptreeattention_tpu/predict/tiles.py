@@ -209,6 +209,25 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
     return results.merge(crowns, on="individual")
 
 
+def predict_tile_ondevice(crowns, m, config, savedir, filter_dead=False):
+    """Crop-file-free predict_tile: resolve the tile's per-year HSI rasters
+    and run predict_species_ondevice, then the same dead-masking/area/write
+    steps. Enable in the sweep with config["ondevice_predict"]=True."""
+    if isinstance(crowns, str):
+        crowns = vector.read_file(crowns)
+    img_pool = [
+        x for x in glob.glob(config["HSI_sensor_pool"], recursive=True)
+        if "point_cloud" not in x and "products" not in x
+    ]
+    from deeptreeattention_tpu.data import neon_paths
+
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+    trees = predict_species_ondevice(crowns, tile_paths, m, config)
+    return _finish_tile(trees, crowns, config, savedir, filter_dead)
+
+
 def predict_tile(crown_annotations, m, config, savedir, filter_dead=False, client=None):
     """One tile end-to-end from the crops sidecar -> predicted .shp."""
     crowns = (
@@ -219,6 +238,10 @@ def predict_tile(crown_annotations, m, config, savedir, filter_dead=False, clien
     trees = predict_species(crowns=crowns, m=m, config=config)
     if trees is None:
         return None
+    return _finish_tile(trees, crowns, config, savedir, filter_dead)
+
+
+def _finish_tile(trees, crowns, config, savedir, filter_dead):
 
     if filter_dead and "dead_label" in trees.columns:
         dead_mask = (trees.dead_label == 1) & (
