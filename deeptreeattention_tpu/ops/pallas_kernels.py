@@ -223,7 +223,7 @@ def to_flat_layout(x, dtype=jnp.bfloat16):
     return xp.reshape(b, PB1, c).astype(dtype)
 
 
-def spectral_infer(variables, x, batch_tile=32, compute_dtype=jnp.bfloat16,
+def spectral_infer(variables, x, batch_tile=16, compute_dtype=jnp.bfloat16,
                    interpret=False):
     """Fused inference over [B, 11, 11, C] -> final-stage logits [B, classes].
 
