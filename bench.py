@@ -32,7 +32,7 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    BATCH = 4096
+    BATCH = 8192  # measured: +25% over 4096 (docs/PERF.md)
     ITERS = 8
 
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
