@@ -32,7 +32,10 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    BATCH = 8192  # measured: +25% over 4096 (docs/PERF.md)
+    # 8192 measures ~25% faster (624k/s, docs/PERF.md) but roughly doubles
+    # the cold remote-compile time; 4096 keeps the bench runnable within the
+    # driver's budget and its program is in the persistent cache.
+    BATCH = 4096
     ITERS = 8
 
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
