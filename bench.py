@@ -32,10 +32,10 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    # 8192 measures ~25% faster (624k/s, docs/PERF.md) but roughly doubles
-    # the cold remote-compile time; 4096 keeps the bench runnable within the
-    # driver's budget and its program is in the persistent cache.
-    BATCH = 4096
+    # 8192 measures ~25% faster than 4096 (620k vs 498k patches/s); its
+    # program is seeded in the persistent compile cache (/tmp/dta_jax_cache)
+    # so reruns skip the ~20 min cold remote compile.
+    BATCH = 8192
     ITERS = 8
 
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
