@@ -32,10 +32,11 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    # 8192 measures ~25% faster than 4096 (620k vs 498k patches/s); its
-    # program is seeded in the persistent compile cache (/tmp/dta_jax_cache)
-    # so reruns skip the ~20 min cold remote compile.
-    BATCH = 8192
+    # Batch 8192 measures ~25% faster (620k vs 498k patches/s, docs/PERF.md)
+    # but its cold remote compile runs ~20 min and the persistent compile
+    # cache does not survive the axon remote-compile path; 4096 compiles
+    # within ~10 min, keeping the bench inside a reasonable budget.
+    BATCH = 4096
     ITERS = 8
 
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
