@@ -12,7 +12,6 @@ import os
 import traceback
 
 import numpy as np
-import pandas as pd
 
 from deeptreeattention_tpu.data import neon_paths
 from deeptreeattention_tpu.geo import raster

@@ -6,7 +6,6 @@ points with one row per individual.
 """
 import re
 
-import numpy as np
 import pandas as pd
 
 from deeptreeattention_tpu.geo import vector

@@ -7,7 +7,6 @@ futures pool — the dask replacement), keep the split with the most test
 species, break ties toward the largest train set.
 """
 import numpy as np
-import pandas as pd
 
 from deeptreeattention_tpu.utils.logging import get_logger
 

@@ -7,7 +7,7 @@ arbitrary add_stats callables over the pixels covered by each geometry.
 import numpy as np
 
 from deeptreeattention_tpu.geo.affine import window_from_bounds
-from deeptreeattention_tpu.geo.geometry import Box, Point, Polygon
+from deeptreeattention_tpu.geo.geometry import Point, Polygon
 from deeptreeattention_tpu.geo.raster import open_raster
 
 

@@ -7,7 +7,6 @@ train/torch_import.py); bottleneck ResNet-50 by default, with a depth table
 for smaller variants used in tests.
 """
 from functools import partial
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ on its shard, no collectives needed until aggregation), replicating the
 parameters. Used for the landscape sweep where one tile yields tens of
 thousands of windows (SURVEY §5: batch-shard the pixel-window axis over ICI).
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp

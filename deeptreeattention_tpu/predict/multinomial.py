@@ -7,7 +7,6 @@ matrix (multinomial draw); aggregate per-species crown counts across tiles,
 fanned out over the futures pool. The per-tile sampling is vectorized numpy.
 """
 import glob
-import math
 import os
 
 import numpy as np

@@ -11,7 +11,6 @@ import glob
 import os
 
 import numpy as np
-import pandas as pd
 
 from deeptreeattention_tpu.data import detection
 from deeptreeattention_tpu.data.chm import postprocess_CHM

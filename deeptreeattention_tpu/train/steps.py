@@ -5,7 +5,6 @@ metadata model and AliveDead — the per-module differences are just the model
 apply function and input unpacking. Padded batch rows are excluded through
 the mask (static batch shapes keep one compiled program per level).
 """
-import functools
 
 import jax
 import jax.numpy as jnp
