@@ -172,6 +172,67 @@ def import_hang2020(state_or_path):
     return {"params": params, "batch_stats": batch_stats}
 
 
+RESNET_STAGES = {50: [3, 4, 6, 3], 101: [3, 4, 23, 3]}
+
+
+def import_resnet50(state_or_path, num_classes=2, depth=50):
+    """torchvision resnet50-style state_dict -> models.resnet.ResNet variables.
+
+    Covers migrating the reference's alive/dead checkpoints (torchvision
+    resnet50 + 2-class head, reference src/models/dead.py:34-36). Bottleneck
+    sub-modules map onto flax auto-names: Conv_0..2 / BatchNorm_0..2 are the
+    main path, Conv_3 / BatchNorm_3 the downsample (when present). A missing
+    fc head (backbone-only) leaves the new head randomly initialized absent.
+    """
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    # strip lightning "model." prefixes
+    state = {k[len("model."):] if k.startswith("model.") else k: v for k, v in state.items()}
+
+    params = {}
+    batch_stats = {}
+
+    def put_bn(dst_p, dst_s, prefix):
+        dst_p["scale"] = state[prefix + ".weight"]
+        dst_p["bias"] = state[prefix + ".bias"]
+        dst_s["mean"] = state[prefix + ".running_mean"]
+        dst_s["var"] = state[prefix + ".running_var"]
+
+    params["stem_conv"] = {"kernel": _conv2d(state["conv1.weight"])}
+    params["stem_bn"], bn_s = {}, {}
+    put_bn(params["stem_bn"], bn_s, "bn1")
+    batch_stats["stem_bn"] = bn_s
+
+    for stage_i, blocks in enumerate(RESNET_STAGES[depth], start=1):
+        for b in range(blocks):
+            src = "layer{}.{}".format(stage_i, b)
+            name = "stage{}_block{}".format(stage_i, b)
+            p = {}
+            s = {}
+            for ci in (1, 2, 3):
+                p["Conv_{}".format(ci - 1)] = {
+                    "kernel": _conv2d(state["{}.conv{}.weight".format(src, ci)])
+                }
+                bp, bsd = {}, {}
+                put_bn(bp, bsd, "{}.bn{}".format(src, ci))
+                p["BatchNorm_{}".format(ci - 1)] = bp
+                s["BatchNorm_{}".format(ci - 1)] = bsd
+            if "{}.downsample.0.weight".format(src) in state:
+                p["Conv_3"] = {"kernel": _conv2d(state["{}.downsample.0.weight".format(src)])}
+                bp, bsd = {}, {}
+                put_bn(bp, bsd, "{}.downsample.1".format(src))
+                p["BatchNorm_3"] = bp
+                s["BatchNorm_3"] = bsd
+            params[name] = p
+            batch_stats[name] = s
+
+    if "fc.weight" in state and state["fc.weight"].shape[0] == num_classes:
+        params["fc"] = {"kernel": _linear(state["fc.weight"]), "bias": state["fc.bias"]}
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def import_spectral_only(state_or_path):
     state = (
         load_state_dict(state_or_path) if isinstance(state_or_path, str) else
