@@ -17,7 +17,7 @@ import pandas as pd
 
 from deeptreeattention_tpu.geo import affine, raster, vector, geometry
 
-VERSION = 3
+VERSION = 4
 EPSG = 32617
 EASTING, NORTHING = 726000, 4699000  # geoindex cell
 TILE = 200  # tile pixels at 1 m
@@ -51,21 +51,22 @@ def build(out_dir):
 
     t = _tile_transform()
 
-    # --- sensor tiles -------------------------------------------------------
+    # --- sensor tiles (HSI arrays kept in memory; crown spectral signatures
+    # are painted in below so models have real signal to learn) --------------
     rgb_paths = {}
     hsi_paths = {}
+    hsi_arrays = {}
     for year in YEARS:
         rgb = rng.randint(0, 255, size=(3, TILE, TILE)).astype(np.uint8)
         rgb_name = "{y}_HARV_5_{e}_{n}_image_{y}.tif".format(y=year, e=EASTING, n=NORTHING)
         rgb_paths[year] = os.path.join(out_dir, "rgb", rgb_name)
         raster.write_raster(rgb_paths[year], rgb, transform=t, crs=EPSG)
 
-        hsi = rng.randint(0, 10000, size=(RAW_BANDS, TILE, TILE)).astype(np.int16)
+        hsi_arrays[year] = rng.randint(1000, 5000, size=(RAW_BANDS, TILE, TILE)).astype(np.int16)
         hsi_name = "{y}_HARV_5_{e}_{n}_image_hyperspectral_{y}.tif".format(
             y=year, e=EASTING, n=NORTHING
         )
         hsi_paths[year] = os.path.join(out_dir, "hsi", hsi_name)
-        raster.write_raster(hsi_paths[year], hsi, transform=t, crs=EPSG, tiled=True, tile_size=64)
 
     chm = np.abs(rng.randn(1, TILE, TILE)).astype(np.float32) * 2 + 8.0  # ~8-12 m canopy
     chm_name = "HARV_{e}_{n}_CHM.tif".format(e=EASTING, n=NORTHING)
@@ -102,6 +103,28 @@ def build(out_dir):
     crowns["box_id"] = np.arange(len(crowns))
     crowns["score"] = rng.uniform(0.5, 1.0, len(crowns)).round(3)
     crowns.to_file(os.path.join(out_dir, "artifact", "crowns.shp"))
+
+    # paint species spectral signatures into the crown footprints so the
+    # classifiers have learnable structure (each species: a distinct spectral
+    # curve added across its crown pixels, consistent across years)
+    band_axis = np.arange(RAW_BANDS) / RAW_BANDS
+    signatures = {
+        sp: (3000 * np.sin(2 * np.pi * band_axis * (si + 2) + si)).astype(np.int16)
+        for si, sp in enumerate(SPECIES)
+    }
+    for r, geom in zip(stems.itertuples(), crowns.geometry):
+        left, bottom, right, top = geom.bounds
+        c0 = int(left - EASTING)
+        r0 = int((NORTHING + TILE) - top)
+        sig = signatures[r.taxonID][:, None, None]
+        for year in YEARS:
+            block = hsi_arrays[year][:, max(r0, 0) : r0 + 4, max(c0, 0) : c0 + 4]
+            block += sig[:, : block.shape[1], : block.shape[2]]
+    for year in YEARS:
+        raster.write_raster(
+            hsi_paths[year], hsi_arrays[year], transform=t, crs=EPSG,
+            tiled=True, tile_size=64,
+        )
 
     points = vector.GeoDataFrame(
         stems[["individual", "taxonID", "siteID", "plotID", "height"]].copy(),
