@@ -35,10 +35,18 @@ class TreeData:
         self.data_dir = data_dir or config.get("data_dir", ".")
         os.makedirs(os.path.join(self.data_dir, "boxes"), exist_ok=True)
 
+        from deeptreeattention_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
         if config.get("use_data_commit"):
-            self._load_artifact()
+            with self.timer.stage("load_artifact"):
+                self._load_artifact()
         else:
             self._regenerate()
+            self.timer.log(
+                getattr(self.comet_logger, "experiment", self.comet_logger)
+                if self.comet_logger else None
+            )
 
     # ------------------------------------------------------------------
     def _log_param(self, name, value):
@@ -49,7 +57,8 @@ class TreeData:
     def _regenerate(self):
         cfg = self.config
         if cfg.get("replace", True):
-            df = filter_data(self.csv_file, config=cfg)
+            with self.timer.stage("filter"):
+                df = filter_data(self.csv_file, config=cfg)
 
             IFAS = None
             if cfg.get("megaplot_dir"):
@@ -80,8 +89,9 @@ class TreeData:
             self._log_param("Species before CHM filter", df.taxonID.nunique())
             self._log_param("Samples before CHM filter", len(df))
 
-            df = chm_mod.filter_CHM(
-                df, CHM_pool=cfg["CHM_pool"], min_CHM_height=cfg["min_CHM_height"],
+            with self.timer.stage("chm_filter"):
+                df = chm_mod.filter_CHM(
+                    df, CHM_pool=cfg["CHM_pool"], min_CHM_height=cfg["min_CHM_height"],
                 max_CHM_diff=cfg["max_CHM_diff"], CHM_height_limit=cfg["CHM_height_limit"],
             )
             self.canopy_points = vector.GeoDataFrame(df)
@@ -89,8 +99,9 @@ class TreeData:
             self._log_param("Species after CHM filter", df.taxonID.nunique())
             self._log_param("Samples after CHM filter", len(df))
 
-            self.crowns = crowns_mod.points_to_crowns(
-                field_data=os.path.join(self.data_dir, "canopy_points.shp"),
+            with self.timer.stage("crowns"):
+                self.crowns = crowns_mod.points_to_crowns(
+                    field_data=os.path.join(self.data_dir, "canopy_points.shp"),
                 rgb_dir=cfg["rgb_sensor_pool"],
                 savedir=os.path.join(self.data_dir, "boxes"),
                 raw_box_savedir=os.path.join(self.data_dir, "boxes"),
@@ -107,8 +118,9 @@ class TreeData:
                 os.path.join(self.data_dir, "canopy_points.shp")
             )
 
-        annotations = crops_mod.generate_crops(
-            self.crowns,
+        with self.timer.stage("crops"):
+            annotations = crops_mod.generate_crops(
+                self.crowns,
             savedir=self.config["crop_dir"],
             sensor_glob=self.config["HSI_sensor_pool"],
             convert_h5=self.config["convert_h5"],
@@ -122,8 +134,9 @@ class TreeData:
         self._log_param("Samples after crop generation", len(annotations))
 
         if self.config.get("new_train_test_split", True):
-            self.train, self.test = train_test_split(
-                annotations, config=self.config, client=self.client
+            with self.timer.stage("split"):
+                self.train, self.test = train_test_split(
+                    annotations, config=self.config, client=self.client
             )
         else:
             prev_train = pd.read_csv(os.path.join(self.data_dir, "train.csv"))

@@ -108,10 +108,18 @@ def main():
             if os.path.exists(out_shp):
                 continue
             try:
-                predict_api.predict_tile(
-                    crown_annotations=crops_shp, filter_dead=bool(dead_model_path),
-                    m=m, savedir=prediction_dir, config=config,
-                )
+                if config.get("ondevice_predict"):
+                    # crop-file-free fast path: stream tiles to HBM, gather
+                    # crown windows on device
+                    predict_api.predict_tile_ondevice(
+                        crowns=crops_shp, filter_dead=bool(dead_model_path),
+                        m=m, savedir=prediction_dir, config=config,
+                    )
+                else:
+                    predict_api.predict_tile(
+                        crown_annotations=crops_shp, filter_dead=bool(dead_model_path),
+                        m=m, savedir=prediction_dir, config=config,
+                    )
             except Exception:
                 traceback.print_exc()
                 continue
