@@ -55,8 +55,11 @@ def fold_bn(kernel, bias, scale, beta, mean, var, eps=1e-5):
     return folded_kernel.astype(jnp.float32), folded_bias.astype(jnp.float32)
 
 
-def pack_spectral_params(variables):
-    """flax SpectralNetwork variables -> flat tuple of folded arrays."""
+def pack_spectral_params(variables, weight_dtype=jnp.float32):
+    """flax SpectralNetwork variables -> flat tuple of folded arrays.
+
+    Matmul weights are stored at weight_dtype (bf16 halves their VMEM
+    footprint and matches the in-kernel compute dtype); biases stay f32."""
     p = variables["params"]
     bs = variables["batch_stats"]
     flat = []
@@ -69,14 +72,14 @@ def pack_spectral_params(variables):
         )
         att = p["attention_{}".format(i)]
         flat += [
-            jnp.asarray(w), jnp.asarray(b),
-            jnp.asarray(att["attention_fc1"]["kernel"], jnp.float32),
+            jnp.asarray(w, weight_dtype), jnp.asarray(b),
+            jnp.asarray(att["attention_fc1"]["kernel"], weight_dtype),
             jnp.asarray(att["attention_fc1"]["bias"], jnp.float32),
-            jnp.asarray(att["attention_fc2"]["kernel"], jnp.float32),
+            jnp.asarray(att["attention_fc2"]["kernel"], weight_dtype),
             jnp.asarray(att["attention_fc2"]["bias"], jnp.float32),
         ]
     cls = p["classifier3"]["fc1"]
-    flat += [jnp.asarray(cls["kernel"], jnp.float32), jnp.asarray(cls["bias"], jnp.float32)]
+    flat += [jnp.asarray(cls["kernel"], weight_dtype), jnp.asarray(cls["bias"], jnp.float32)]
     return tuple(flat)
 
 
@@ -230,7 +233,7 @@ def spectral_infer(variables, x, batch_tile=16, compute_dtype=jnp.bfloat16,
     Numerically matches SpectralNetwork.apply(..., train=False)[-1] (BN in
     eval mode, bf16 matmuls). B must be a multiple of batch_tile.
     """
-    params = pack_spectral_params(variables)
+    params = pack_spectral_params(variables, weight_dtype=compute_dtype)
     consts = layout_constants()
     b = x.shape[0]
     c = x.shape[-1]
