@@ -132,6 +132,12 @@ class LocalMaximaDetector(Detector):
 
 
 def load_detector(config=None):
-    """Detector factory. config["crown_detector"] may name a checkpoint of a
-    learned detector (future); default is the deterministic classical one."""
+    """Detector factory: config["crown_detector"] names a LearnedDetector
+    checkpoint directory (models/detector.py); default is the deterministic
+    classical detector."""
+    ckpt = (config or {}).get("crown_detector")
+    if ckpt:
+        from deeptreeattention_tpu.models.detector import LearnedDetector
+
+        return LearnedDetector.load_from_checkpoint(ckpt, config=config)
     return LocalMaximaDetector()

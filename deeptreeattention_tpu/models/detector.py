@@ -1,0 +1,207 @@
+"""Trainable crown detector: anchor-free center-heatmap network in flax.
+
+The reference delegates crown detection to a pretrained DeepForest RetinaNet
+(reference src/generate.py:17-60). Offline and TPU-native, this module
+provides a trainable replacement with the same Detector protocol
+(data/detection.py): a small conv backbone predicts a crown-center heatmap
+plus per-center box sizes at stride 4 (CenterNet-style — peaks are crowns,
+no anchors, no NMS beyond a 3x3 local-max). Train on any boxes dataframe
+(e.g. hand labels or DeepForest outputs); inference decodes top-K peaks.
+
+Loss: penalty-reduced focal on the heatmap + L1 on sizes at center pixels.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from deeptreeattention_tpu.data.detection import Detector
+from deeptreeattention_tpu.train import checkpoints, optim
+
+STRIDE = 4
+
+
+class CrownDetectorNet(nn.Module):
+    """Conv backbone -> (heatmap [H/4, W/4, 1], sizes [H/4, W/4, 2])."""
+
+    width: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        w = self.width
+        x = x.astype(self.dtype) / 255.0
+        for i, (filters, stride) in enumerate([(w, 2), (w * 2, 2), (w * 2, 1), (w * 4, 1)]):
+            x = nn.Conv(filters, (3, 3), (stride, stride), padding="SAME",
+                        dtype=self.dtype, name="conv{}".format(i))(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn{}".format(i))(x)
+            x = nn.relu(x)
+        heat = nn.Conv(1, (1, 1), name="heat",
+                       bias_init=nn.initializers.constant(-2.19))(x)  # sigmoid ~0.1 prior
+        size = nn.Conv(2, (1, 1), name="size")(x)
+        return jax.nn.sigmoid(heat[..., 0]).astype(jnp.float32), jnp.maximum(
+            size, 0.0
+        ).astype(jnp.float32)
+
+
+def render_targets(boxes_list, hw, stride=STRIDE, sigma=1.5):
+    """Ground-truth heatmaps/sizes from per-image box lists.
+
+    boxes_list: list (len B) of [N_i, 4] pixel boxes (xmin, ymin, xmax, ymax).
+    Returns (heat [B, h, w], size [B, h, w, 2], mask [B, h, w]).
+    """
+    H, W = hw
+    h, w = H // stride, W // stride
+    B = len(boxes_list)
+    heat = np.zeros((B, h, w), np.float32)
+    size = np.zeros((B, h, w, 2), np.float32)
+    mask = np.zeros((B, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for b, boxes in enumerate(boxes_list):
+        for (x0, y0, x1, y1) in np.asarray(boxes, float).reshape(-1, 4):
+            cx = (x0 + x1) / 2 / stride
+            cy = (y0 + y1) / 2 / stride
+            ci, cj = int(np.clip(cy, 0, h - 1)), int(np.clip(cx, 0, w - 1))
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+            heat[b] = np.maximum(heat[b], g)
+            size[b, ci, cj] = ((x1 - x0) / stride, (y1 - y0) / stride)
+            mask[b, ci, cj] = 1.0
+    return heat, size, mask
+
+
+def detector_loss(pred_heat, pred_size, heat, size, mask, alpha=2.0, beta=4.0):
+    """Penalty-reduced focal (CenterNet eq. 1) + masked L1 size loss."""
+    eps = 1e-6
+    p = jnp.clip(pred_heat, eps, 1 - eps)
+    pos = jnp.where(heat >= 0.999, 1.0, 0.0)
+    pos_loss = -pos * ((1 - p) ** alpha) * jnp.log(p)
+    neg_loss = -(1 - pos) * ((1 - heat) ** beta) * (p**alpha) * jnp.log(1 - p)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    focal = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
+    l1 = jnp.sum(jnp.abs(pred_size - size) * mask[..., None]) / n_pos
+    return focal + 0.1 * l1
+
+
+def decode(heat, size, stride=STRIDE, threshold=0.3, top_k=200):
+    """Heatmap -> boxes df (pixel coords). 3x3 local-max suppression."""
+    heat = np.asarray(heat)
+    size = np.asarray(size)
+    from scipy import ndimage
+
+    local_max = ndimage.maximum_filter(heat, size=3) == heat
+    ys, xs = np.nonzero(local_max & (heat > threshold))
+    scores = heat[ys, xs]
+    order = np.argsort(-scores)[:top_k]
+    rows = []
+    for k in order:
+        i, j = ys[k], xs[k]
+        bw, bh = size[i, j, 0] * stride, size[i, j, 1] * stride
+        cx, cy = j * stride + stride / 2, i * stride + stride / 2
+        rows.append(
+            {
+                "xmin": cx - bw / 2, "ymin": cy - bh / 2,
+                "xmax": cx + bw / 2, "ymax": cy + bh / 2,
+                "score": float(heat[i, j]), "label": "Tree",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+class LearnedDetector(Detector):
+    """Detector-protocol adapter around a trained CrownDetectorNet."""
+
+    def __init__(self, config=None, width=32, seed=0, patch=256, threshold=0.3):
+        self.model = CrownDetectorNet(width=width)
+        self.patch = patch
+        self.threshold = threshold
+        key = jax.random.PRNGKey(seed)
+        self.variables = dict(
+            self.model.init(key, jnp.zeros((1, patch, patch, 3), jnp.float32))
+        )
+        lr = (config or {}).get("detector_lr", 1e-3)
+        self.optimizer = optim.adam_with_plateau(lr)
+        self.opt_state = self.optimizer.init(self.variables["params"])
+        self._build_steps()
+
+    def _build_steps(self):
+        model = self.model
+        optimizer = self.optimizer
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, images, heat, size, mask):
+            def loss_fn(p):
+                (ph, ps), mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, images,
+                    train=True, mutable=["batch_stats"],
+                )
+                return detector_loss(ph, ps, heat, size, mask), mut["batch_stats"]
+
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            import optax
+
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), stats, opt_state, loss
+
+        @jax.jit
+        def infer_step(params, batch_stats, images):
+            return model.apply({"params": params, "batch_stats": batch_stats}, images)
+
+        self._train_step = train_step
+        self._infer_step = infer_step
+
+    def fit(self, images, boxes_list, steps=200, batch_size=8, seed=0, log_every=50):
+        """images: [N, H, W, 3] uint8/float; boxes_list: list of [n_i, 4]."""
+        images = np.asarray(images, np.float32)
+        heat, size, mask = render_targets(boxes_list, images.shape[1:3])
+        rng = np.random.RandomState(seed)
+        losses = []
+        n = len(images)
+        for step_i in range(steps):
+            idx = rng.randint(0, n, size=min(batch_size, n))
+            params, stats, self.opt_state, loss = self._train_step(
+                self.variables["params"], self.variables.get("batch_stats", {}),
+                self.opt_state, jnp.asarray(images[idx]), jnp.asarray(heat[idx]),
+                jnp.asarray(size[idx]), jnp.asarray(mask[idx]),
+            )
+            self.variables = {"params": params, "batch_stats": stats}
+            losses.append(loss)
+        return [float(l) for l in jax.device_get(losses)]
+
+    def predict_image(self, image):
+        if image is None or image.size == 0:
+            return None
+        img = np.asarray(image, np.float32)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        if img.shape[-1] > 3:
+            img = img[..., :3]
+        h, w = img.shape[:2]
+        ph = -(-h // STRIDE) * STRIDE
+        pw = -(-w // STRIDE) * STRIDE
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:h, :w] = img
+        heat, sizes = self._infer_step(
+            self.variables["params"], self.variables.get("batch_stats", {}),
+            jnp.asarray(padded[None]),
+        )
+        boxes = decode(np.asarray(heat)[0], np.asarray(sizes)[0], threshold=self.threshold)
+        if boxes.empty:
+            return None
+        boxes["xmax"] = boxes.xmax.clip(upper=w - 1)
+        boxes["ymax"] = boxes.ymax.clip(upper=h - 1)
+        boxes["xmin"] = boxes.xmin.clip(lower=0)
+        boxes["ymin"] = boxes.ymin.clip(lower=0)
+        return boxes
+
+    def save_checkpoint(self, path):
+        return checkpoints.save_checkpoint(path, self.variables, {"width": self.model.width})
+
+    @classmethod
+    def load_from_checkpoint(cls, path, config=None):
+        tree, meta = checkpoints.load_checkpoint(path)
+        obj = cls(config=config, width=int(meta.get("width", 32)))
+        obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
+        return obj
