@@ -102,6 +102,40 @@ def test_no_water_band_count():
     assert len(idx) == 369
 
 
+def test_lookup_and_convert_lazy_cache(tmp_path, monkeypatch):
+    """lookup_and_convert converts each year's h5 once, then reuses the tif."""
+    calls = []
+
+    def fake_convert(h5_path, rgb_path, savedir, year=None):
+        calls.append(h5_path)
+        out = os.path.join(
+            savedir,
+            os.path.splitext(os.path.basename(rgb_path))[0]
+            + "_hyperspectral_{}.tif".format(year),
+        )
+        with open(out, "w") as f:
+            f.write("tif")
+        return out
+
+    monkeypatch.setattr(neon_paths, "convert_h5", fake_convert)
+    rgb_pool = [str(tmp_path / "2019_OSBS_405000_3286000_image.tif")]
+    h5_pool = [
+        str(tmp_path / "2018" / "NEON_405000_3286000_reflectance.h5"),
+        str(tmp_path / "2019" / "NEON_405000_3286000_reflectance.h5"),
+    ]
+    out = neon_paths.lookup_and_convert(
+        rgb_pool=rgb_pool, hyperspectral_pool=h5_pool, savedir=str(tmp_path),
+        geo_index="405000_3286000", all_years=True,
+    )
+    assert len(out) == 2 and len(calls) == 2
+    # second call: cached, no new conversions
+    out2 = neon_paths.lookup_and_convert(
+        rgb_pool=rgb_pool, hyperspectral_pool=h5_pool, savedir=str(tmp_path),
+        geo_index="405000_3286000", all_years=True,
+    )
+    assert out2 == out and len(calls) == 2
+
+
 # -- megaplot ----------------------------------------------------------------
 
 @pytest.fixture()
