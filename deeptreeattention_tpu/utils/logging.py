@@ -117,6 +117,52 @@ class Experiment:
             json.dump({"params": self._params, "tags": self._tags}, f, indent=1)
 
 
+class TeeExperiment:
+    """Forward every log_* call to several experiment objects (e.g. the local
+    Experiment plus a live comet_ml experiment)."""
+
+    def __init__(self, *experiments):
+        self.experiments = [e for e in experiments if e is not None]
+
+    def __getattr__(self, name):
+        if not name.startswith("log_") and name not in ("add_tag", "set_step", "end"):
+            raise AttributeError(name)
+
+        def fanout(*args, **kwargs):
+            result = None
+            for exp in self.experiments:
+                fn = getattr(exp, name, None)
+                if fn is None:
+                    continue
+                try:
+                    out = fn(*args, **kwargs)
+                    result = result if result is not None else out
+                except Exception as e:  # a sink failing must not kill the run
+                    get_logger(__name__).warning("%s sink failed: %s", name, e)
+            return result
+
+        return fanout
+
+    def get_key(self):
+        for exp in self.experiments:
+            if hasattr(exp, "get_key"):
+                return exp.get_key()
+        return None
+
+
+def comet_experiment(project_name=None, workspace=None, savedir="results/experiments"):
+    """Local Experiment, tee'd with comet_ml when importable+configured
+    (reference-style observability without the hard dependency)."""
+    local = Experiment(savedir=savedir, project_name=project_name)
+    try:
+        import comet_ml  # noqa: F401
+
+        live = comet_ml.Experiment(project_name=project_name, workspace=workspace)
+        return TeeExperiment(local, live)
+    except Exception:
+        return local
+
+
 def _jsonable(v):
     try:
         json.dumps(v)

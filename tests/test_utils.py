@@ -89,6 +89,47 @@ def test_stage_timer():
     assert summary["io"]["total_s"] >= 0.01
 
 
+def test_tee_experiment(tmp_path):
+    from deeptreeattention_tpu.utils.logging import Experiment, TeeExperiment
+
+    a = Experiment(savedir=str(tmp_path / "a"))
+    b = Experiment(savedir=str(tmp_path / "b"))
+
+    class Broken:
+        def log_metric(self, *a, **k):
+            raise RuntimeError("down")
+
+    tee = TeeExperiment(a, b, Broken())
+    tee.log_metric("x", 1.0)
+    tee.log_parameter("p", 2)
+    tee.add_tag("t")
+    for exp in (a, b):
+        assert os.path.exists(os.path.join(exp.dir, "metrics.jsonl"))
+    assert tee.get_key() == a.get_key()
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.utils import profiling
+
+    out = str(tmp_path / "trace")
+    with profiling.trace(out):
+        with profiling.annotate("work"):
+            jnp.sum(jnp.ones(16)).block_until_ready()
+    assert os.path.exists(out)
+    assert any(os.scandir(out))
+
+
+def test_cprofile_context(tmp_path):
+    from deeptreeattention_tpu.utils import profiling
+
+    path = str(tmp_path / "prof.pstats")
+    with profiling.cprofile_to(path):
+        sum(range(1000))
+    assert os.path.getsize(path) > 0
+
+
 def test_predictions_to_df():
     preds = [(np.array(["a", "b"]), np.random.rand(2, 3)),
              (np.array(["c"]), np.random.rand(1, 3))]
