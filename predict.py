@@ -18,7 +18,7 @@ from deeptreeattention_tpu import cluster
 from deeptreeattention_tpu.models.multi_stage import MultiStage
 from deeptreeattention_tpu.predict import tiles as predict_api
 from deeptreeattention_tpu.utils.config import read_config
-from deeptreeattention_tpu.utils.logging import Experiment, get_logger
+from deeptreeattention_tpu.utils.logging import comet_experiment, get_logger
 
 log = get_logger("predict")
 
@@ -47,7 +47,7 @@ def find_rgb_files(site, config, year="2021", bounds=OSBS_BOUNDS):
 def main():
     config = read_config("config.yml")
     config["preload_images"] = False
-    experiment = Experiment(project_name="DeepTreeAttention-TPU")
+    experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag("prediction")
     experiment.log_parameters(config)
 

@@ -16,7 +16,7 @@ from deeptreeattention_tpu.data.dataset import TreeDataset
 from deeptreeattention_tpu.models.multi_stage import MultiStage
 from deeptreeattention_tpu.utils import visualize
 from deeptreeattention_tpu.utils.config import read_config
-from deeptreeattention_tpu.utils.logging import Experiment, get_logger
+from deeptreeattention_tpu.utils.logging import comet_experiment, get_logger
 
 log = get_logger("train")
 
@@ -26,7 +26,7 @@ def main():
     git_commit = sys.argv[2] if len(sys.argv) > 2 else "none"
 
     config = read_config("config.yml")
-    experiment = Experiment(project_name="DeepTreeAttention-TPU")
+    experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag(git_branch)
     experiment.log_parameter("git branch", git_branch)
     experiment.log_parameter("commit hash", git_commit)

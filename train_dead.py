@@ -8,14 +8,14 @@ import numpy as np
 
 from deeptreeattention_tpu.models import dead
 from deeptreeattention_tpu.utils.config import read_config
-from deeptreeattention_tpu.utils.logging import Experiment, get_logger
+from deeptreeattention_tpu.utils.logging import comet_experiment, get_logger
 
 log = get_logger("train_dead")
 
 
 def main():
     config = read_config("config.yml")
-    experiment = Experiment(project_name="DeepTreeAttention-TPU")
+    experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag("DeadAlive")
 
     model = dead.AliveDead(config=config)
