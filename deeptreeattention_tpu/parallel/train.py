@@ -23,11 +23,24 @@ from deeptreeattention_tpu.train import steps
 
 def make_mesh_2d(n_devices, model_parallel=1, devices=None):
     devices = devices or jax.devices()
+    if len(devices) < n_devices:
+        raise ValueError(
+            "make_mesh_2d: need {} devices, backend has {} "
+            "(set --xla_force_host_platform_device_count before backend init)".format(
+                n_devices, len(devices)
+            )
+        )
+    if n_devices % model_parallel:
+        raise ValueError(
+            "make_mesh_2d: n_devices={} not divisible by model_parallel={}".format(
+                n_devices, model_parallel
+            )
+        )
     devices = np.array(devices[:n_devices]).reshape(n_devices // model_parallel, model_parallel)
     return Mesh(devices, ("data", "model"))
 
 
-def place_variables(variables, mesh, years=None):
+def place_variables(variables, mesh):
     """Replicate params, shard year-stacked leaves over the "model" axis."""
     model_size = mesh.shape.get("model", 1)
     repl = NamedSharding(mesh, P())
