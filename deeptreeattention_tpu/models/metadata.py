@@ -125,7 +125,7 @@ class MetadataModel(treemodel.TreeModel):
             loader = Loader(train_ds, cfg["batch_size"], shuffle=True, seed=epoch,
                             pad_to_batch=cfg.get("pad_batches", True))
             losses = []
-            for bi, batch in enumerate(loader):
+            for bi, batch in enumerate(self._iter_batches(loader)):
                 if fast_dev_run and bi > 0:
                     break
                 self.key, rng = jax.random.split(self.key)

@@ -43,15 +43,9 @@ class MultiStage:
         self.key = jax.random.PRNGKey(seed)
         # data-parallel mesh: batches shard on the leading axis, params
         # replicate; GSPMD inserts the gradient all-reduce over ICI
-        self.mesh = mesh
-        if mesh is None and config.get("mesh_devices") not in (None, 0, 1):
-            from deeptreeattention_tpu.parallel import make_mesh
+        from deeptreeattention_tpu.parallel import resolve_mesh
 
-            n = config["mesh_devices"]
-            if n == -1:
-                n = len(jax.devices())
-            if n > 1:
-                self.mesh = make_mesh(n)
+        self.mesh = resolve_mesh(config, mesh)
 
         self.train_df = train_df.copy() if train_df is not None else None
         self.test_df = test_df.copy() if test_df is not None else None
@@ -374,9 +368,18 @@ class MultiStage:
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
 
+    def _iter_batches(self, loader):
+        """Loader -> double-buffered device batch stream: H2D copies (and the
+        mesh sharding, when one is configured) overlap the previous step's
+        compute instead of serializing with it (replaces the reference's
+        DataLoader worker pool, src/models/multi_stage.py:221-246)."""
+        from deeptreeattention_tpu.parallel import prefetch_to_device
+
+        return prefetch_to_device(iter(loader), size=2, mesh=self.mesh)
+
     def _train_epoch(self, max_batches=None):
         loaders = self.train_dataloader()
-        iters = [iter(l) for l in loaders]
+        iters = [self._iter_batches(l) for l in loaders]
         n_steps = max(len(l) for l in loaders)
         if max_batches:
             n_steps = min(n_steps, max_batches)
@@ -390,12 +393,12 @@ class MultiStage:
                 try:
                     batch = next(iters[level])
                 except StopIteration:
-                    iters[level] = iter(loaders[level])
+                    iters[level] = self._iter_batches(loaders[level])
                     try:
                         batch = next(iters[level])
                     except StopIteration:
                         continue
-                images, labels, mask = self._place(batch)
+                images, labels, mask = batch["HSI"], batch["label"], batch["mask"]
                 params, stats, opt_state, loss = self._train_steps[level](
                     self.variables[level]["params"],
                     self.variables[level].get("batch_stats", {}),
@@ -410,22 +413,6 @@ class MultiStage:
         totals = np.asarray(jax.device_get(sums), dtype=np.float64)
         return (totals / np.maximum(counts, 1)).tolist()
 
-    def _place(self, batch):
-        """Shard a batch over the mesh (no-op single-device)."""
-        if self.mesh is None:
-            return (
-                jnp.asarray(batch["HSI"]),
-                jnp.asarray(batch["label"]),
-                jnp.asarray(batch["mask"]),
-            )
-        from deeptreeattention_tpu.parallel import shard_batch
-
-        placed = shard_batch(
-            {"HSI": batch["HSI"], "label": batch["label"], "mask": batch["mask"]},
-            self.mesh,
-        )
-        return placed["HSI"], placed["label"], placed["mask"]
-
     def validate(self, max_batches=None):
         val_losses = []
         level_metrics = []
@@ -433,22 +420,23 @@ class MultiStage:
             losses = []
             mc = M.MetricCollection(self.num_classes[level])
             preds, targets = [], []
-            for bi, batch in enumerate(loader):
+            for bi, batch in enumerate(self._iter_batches(loader)):
                 if max_batches and bi >= max_batches:
                     break
                 loss, probs = self._val_steps[level](
                     self.variables[level]["params"],
                     self.variables[level].get("batch_stats", {}),
-                    jnp.asarray(batch["HSI"]),
-                    jnp.asarray(batch["label"]),
-                    jnp.asarray(batch["mask"]),
+                    batch["HSI"],
+                    batch["label"],
+                    batch["mask"],
                     self.loss_weights[level],
                 )
                 losses.append(float(loss))
-                mask = batch["mask"]
-                mc.update(np.asarray(probs)[mask], batch["label"][mask])
+                mask = np.asarray(batch["mask"]).astype(bool)
+                labels = np.asarray(batch["label"])
+                mc.update(np.asarray(probs)[mask], labels[mask])
                 preds.append(np.argmax(np.asarray(probs)[mask], 1))
-                targets.append(batch["label"][mask])
+                targets.append(labels[mask])
             val_losses.append(float(np.mean(losses)) if losses else float("nan"))
             md = mc.compute()
             if preds:
@@ -466,11 +454,17 @@ class MultiStage:
     # prediction / ensembling
     # ------------------------------------------------------------------
     def predict(self, loader):
-        """Run every level on each batch -> list of (individuals, [probs])."""
+        """Run every level on each batch -> list of (individuals, [probs]).
+
+        Batches stream through the prefetch pipeline; with a mesh configured
+        the batch axis is sharded over it (params replicated) so the
+        landscape sweep runs data-parallel over ICI (SURVEY §5)."""
         outputs = []
-        for batch in loader:
-            images = jnp.asarray(batch["HSI"])
-            mask = batch["mask"]
+        for batch in self._iter_batches(loader):
+            images = batch["HSI"]
+            individuals = np.asarray(batch["individual"])  # strings stay host-side
+            n = len(individuals)
+            mask = np.asarray(batch["mask"]).astype(bool)[:n]
             level_probs = []
             for level in range(self.levels):
                 probs = self._eval_steps[level](
@@ -478,28 +472,32 @@ class MultiStage:
                     self.variables[level].get("batch_stats", {}),
                     images,
                 )
-                level_probs.append(np.asarray(probs)[mask])
-            outputs.append((batch["individual"][mask], level_probs))
+                level_probs.append(np.asarray(probs)[:n][mask])
+            outputs.append((individuals[mask], level_probs))
         return outputs
 
     def gather_predictions(self, predict_df):
         """Pivot raw predictions to one row per individual with per-level
-        argmax label/score (temporal average across duplicate rows)."""
-        rows = {}
-        for individuals, level_probs in predict_df:
-            for level, probs in enumerate(level_probs):
-                for ind, p in zip(individuals, probs):
-                    rows.setdefault((ind, level), []).append(p)
-        individuals = sorted({k[0] for k in rows})
+        argmax label/score (max across an individual's duplicate rows).
+
+        Vectorized: one groupby-idxmax per level over the concatenated batch
+        outputs — O(N log N) host work instead of the reference's per-row
+        Python loop (reference src/models/multi_stage.py:368-402), which at
+        landscape scale runs per tile x ~20 model replicates."""
+        if not predict_df:
+            return pd.DataFrame({"individual": []})
+        inds = np.concatenate([np.asarray(b[0]) for b in predict_df])
+        individuals, inv = np.unique(inds, return_inverse=True)
         data = {"individual": individuals}
         for level in range(self.levels):
-            labels, scores = [], []
-            for ind in individuals:
-                stacked = np.vstack(rows[(ind, level)])
-                labels.append(int(np.unravel_index(np.argmax(stacked), stacked.shape)[1]))
-                scores.append(float(stacked.max()))
-            data["pred_label_top1_level_{}".format(level)] = labels
-            data["top1_score_level_{}".format(level)] = scores
+            probs = np.concatenate([b[1][level] for b in predict_df])
+            row_max = probs.max(axis=1)
+            row_arg = probs.argmax(axis=1)
+            # first-occurrence max per individual == the reference's argmax
+            # over the stacked rows in appearance order
+            best = pd.Series(row_max).groupby(inv).idxmax().values
+            data["pred_label_top1_level_{}".format(level)] = row_arg[best].astype(int)
+            data["top1_score_level_{}".format(level)] = row_max[best].astype(float)
         results = pd.DataFrame(data)
         for level, label_dict in enumerate(self.label_to_taxonIDs):
             results["pred_taxa_top1_level_{}".format(level)] = results[
@@ -588,10 +586,13 @@ class MultiStage:
 
     @classmethod
     def load_from_checkpoint(cls, path, config, train_df=None, test_df=None, crowns=None):
+        from deeptreeattention_tpu.parallel import resolve_mesh
+
         tree, meta = checkpoints.load_checkpoint(path)
         obj = cls.__new__(cls)
         obj.config = config
         obj.crowns = crowns
+        obj.mesh = resolve_mesh(config)
         obj.rng = np.random.RandomState(0)
         obj.key = jax.random.PRNGKey(0)
         obj.train_df = train_df

@@ -113,21 +113,46 @@ def aggregate_crown_scores(probs, crown_ids, n_crowns, mask=None):
     return sums / jnp.maximum(counts[:, None], 1.0)
 
 
-def make_tile_predictor(apply_fn, size=11, clip=10):
+def make_tile_predictor(apply_fn, size=11, clip=10, mesh=None):
     """jit-compiled: (variables, tile, anchors, crown_ids, mask, n_crowns)
     -> per-crown mean probabilities. One XLA program for the whole
-    tile-inference inner loop."""
+    tile-inference inner loop.
+
+    With a mesh, the window axis shards over it via shard_map (params and
+    tile replicated, anchors/probs split) — the SURVEY §5 "batch-shard the
+    pixel-window axis over ICI" production path. The anchor budget must be a
+    multiple of the mesh size (crown_pixel_anchors pads to any budget)."""
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(5,))
-    def predict(variables, tile, anchors, crown_ids, mask, n_crowns):
+    def forward(variables, tile, anchors):
         windows = extract_windows(tile, anchors, size=size)
         x = preprocess_windows(windows, clip=clip)
         logits = apply_fn(variables, x)
         if isinstance(logits, (list, tuple)):
             logits = logits[-1]
-        probs = jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(logits, axis=-1)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from deeptreeattention_tpu.parallel.inference import _shard_map
+
+        axis = mesh.axis_names[0]
+        sharded_forward = _shard_map(
+            forward, mesh, in_specs=(P(), P(), P(axis)), out_specs=P(axis)
+        )
+
+        @partial(jax.jit, static_argnums=(5,))
+        def predict(variables, tile, anchors, crown_ids, mask, n_crowns):
+            probs = sharded_forward(variables, tile, anchors)
+            return aggregate_crown_scores(probs, crown_ids, n_crowns, mask=mask)
+
+        return predict
+
+    @partial(jax.jit, static_argnums=(5,))
+    def predict(variables, tile, anchors, crown_ids, mask, n_crowns):
+        probs = forward(variables, tile, anchors)
         return aggregate_crown_scores(probs, crown_ids, n_crowns, mask=mask)
 
     return predict

@@ -24,6 +24,19 @@ def make_mesh(n_devices=-1, axis="data", devices=None):
     return Mesh(np.array(devices[:n_devices]), (axis,))
 
 
+def resolve_mesh(config=None, mesh=None):
+    """Mesh precedence: explicit mesh > config["mesh_devices"] (-1 = all
+    devices) > None (single-device)."""
+    if mesh is not None:
+        return mesh
+    n = (config or {}).get("mesh_devices")
+    if n in (None, 0, 1):
+        return None
+    if n == -1:
+        n = len(jax.devices())
+    return make_mesh(n) if n > 1 else None
+
+
 def data_sharding(mesh, axis=None):
     axis = axis or mesh.axis_names[0]
     return NamedSharding(mesh, P(axis))

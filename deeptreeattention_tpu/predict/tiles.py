@@ -130,7 +130,7 @@ def predict_species(crowns, m, config):
     return results.merge(crowns, on="individual")
 
 
-def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
+def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=None):
     """Crop-file-free species prediction: stream the per-year HSI tiles to
     HBM once, gather every crown window + NEAREST resize + preprocess on
     device, and run all hierarchy levels — the TPU-native fast path that
@@ -139,12 +139,19 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
     hsi_tile_paths: {tile_year: path} covering the crowns' tile. Years absent
     from m.years are ignored; m.years absent here yield zero images (masked
     out by the year ensemble).
+
+    mesh (default: m.mesh) shards each crown chunk's batch axis over the
+    devices, params replicated — the landscape sweep runs data-parallel over
+    ICI (SURVEY §5). Chunks are padded to the mesh size and stripped after.
     """
     import jax
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.ops.preprocess import BAND_CLIP, minmax_scale_pixels
     from deeptreeattention_tpu.ops.windows import crown_resize_windows
+    from deeptreeattention_tpu.parallel import data_sharding
+
+    mesh = mesh if mesh is not None else getattr(m, "mesh", None)
 
     size = config["image_size"]
     bands = config["bands"]
@@ -191,6 +198,17 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
                     jnp.zeros((idx.stop - idx.start, size, size, bands), jnp.float32)
                 )
         images = jnp.stack(per_year, axis=1)  # [B, Y, S, S, C]
+        k = images.shape[0]
+        if mesh is not None:
+            nd = mesh.devices.size
+            target = ((k + nd - 1) // nd) * nd
+            if target != k:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((target - k,) + images.shape[1:], images.dtype)]
+                )
+            # sharded batch axis + replicated params -> GSPMD partitions the
+            # already-compiled eval step over the mesh
+            images = jax.device_put(images, data_sharding(mesh))
         level_probs = [
             np.asarray(
                 m._eval_steps[level](
@@ -198,7 +216,7 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512):
                     m.variables[level].get("batch_stats", {}),
                     images,
                 )
-            )
+            )[:k]
             for level in range(m.levels)
         ]
         outputs.append((individuals[idx], level_probs))

@@ -20,13 +20,18 @@ log = get_logger(__name__)
 
 
 class TreeModel:
-    def __init__(self, model, classes, label_dict, loss_weight=None, config=None, seed=0):
+    def __init__(self, model, classes, label_dict, loss_weight=None, config=None, seed=0,
+                 mesh=None):
+        from deeptreeattention_tpu.parallel import resolve_mesh
+
         self.config = config
         self.classes = classes
         self.model = model
         self.label_to_index = label_dict
         self.index_to_label = {v: k for k, v in label_dict.items()}
         self.key = jax.random.PRNGKey(seed)
+        # data-parallel mesh: batch axis sharded, params replicated (GSPMD)
+        self.mesh = resolve_mesh(config, mesh)
 
         cfg = config
         years = cfg.get("n_years", 1)
@@ -63,16 +68,16 @@ class TreeModel:
             )
             loss_sum = jnp.float32(0.0)
             n_batches = 0
-            for bi, batch in enumerate(loader):
+            for bi, batch in enumerate(self._iter_batches(loader)):
                 if (fast_dev_run or cfg.get("fast_dev_run")) and bi > 0:
                     break
                 params, stats, self.opt_state, loss = self._train_step(
                     self.variables["params"],
                     self.variables.get("batch_stats", {}),
                     self.opt_state,
-                    jnp.asarray(batch["HSI"]),
-                    jnp.asarray(batch["label"]),
-                    jnp.asarray(batch["mask"]),
+                    batch["HSI"],
+                    batch["label"],
+                    batch["mask"],
                     self.loss_weight,
                 )
                 self.variables = {"params": params, "batch_stats": stats}
@@ -91,23 +96,31 @@ class TreeModel:
             log.info("epoch %d %s", epoch, {k: v for k, v in rec.items() if k != "epoch"})
         return history
 
+    def _iter_batches(self, loader):
+        """Loader -> double-buffered device batch stream (sharded over the
+        mesh when one is configured); H2D transfer overlaps step compute."""
+        from deeptreeattention_tpu.parallel import prefetch_to_device
+
+        return prefetch_to_device(iter(loader), size=2, mesh=self.mesh)
+
     def validate(self, val_ds):
         cfg = self.config
         loader = Loader(val_ds, cfg["batch_size"], pad_to_batch=cfg.get("pad_batches", True))
         self.metrics.reset()
         losses = []
-        for batch in loader:
+        for batch in self._iter_batches(loader):
             loss, probs = self._val_step(
                 self.variables["params"],
                 self.variables.get("batch_stats", {}),
-                jnp.asarray(batch["HSI"]),
-                jnp.asarray(batch["label"]),
-                jnp.asarray(batch["mask"]),
+                batch["HSI"],
+                batch["label"],
+                batch["mask"],
                 self.loss_weight,
             )
             losses.append(float(loss))
-            mask = batch["mask"]
-            self.metrics.update(np.asarray(probs)[mask], batch["label"][mask])
+            mask = np.asarray(batch["mask"]).astype(bool)
+            labels = np.asarray(batch["label"])
+            self.metrics.update(np.asarray(probs)[mask], labels[mask])
         return float(np.mean(losses)), self.metrics.compute()
 
     # ------------------------------------------------------------------
@@ -121,13 +134,15 @@ class TreeModel:
         """Predict a loader -> DataFrame with top1/top2 labels and scores
         (reference src/main.py:165-263)."""
         individuals, probs, labels = [], [], []
-        for batch in data_loader:
-            mask = batch["mask"]
-            p = np.asarray(self.predict(jnp.asarray(batch["HSI"])))[mask]
+        for batch in self._iter_batches(data_loader):
+            inds = np.asarray(batch["individual"])  # strings stay host-side
+            n = len(inds)
+            mask = np.asarray(batch["mask"]).astype(bool)[:n]
+            p = np.asarray(self.predict(batch["HSI"]))[:n][mask]
             probs.append(p)
-            individuals.append(batch["individual"][mask])
+            individuals.append(inds[mask])
             if train and "label" in batch:
-                labels.append(batch["label"][mask])
+                labels.append(np.asarray(batch["label"])[:n][mask])
         individuals = np.concatenate(individuals)
         probs = np.concatenate(probs)
 

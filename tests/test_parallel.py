@@ -111,3 +111,54 @@ def test_year_params_actually_sharded(eight_devices):
     kernel = placed["year_models"]["conv1"]["conv"]["kernel"]
     spec = kernel.sharding.spec
     assert spec[0] == "model"
+
+
+def test_multistage_predict_on_mesh_matches_single(eight_devices, dm, config):
+    """The production predict path (Loader -> prefetch -> eval steps) gives
+    identical gathered predictions with the batch axis sharded over the mesh."""
+    from deeptreeattention_tpu.data.dataset import TreeDataset
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    m1 = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                    config=config, seed=0)
+    mesh = mesh_mod.make_mesh(8)
+    m2 = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                    config=config, seed=0, mesh=mesh)
+    ds = TreeDataset(df=dm.test, train=False, config=config, years=m1.years)
+    g1 = m1.gather_predictions(m1.predict(m1.predict_dataloader(ds)))
+    g2 = m2.gather_predictions(m2.predict(m2.predict_dataloader(ds)))
+    assert list(g1.individual) == list(g2.individual)
+    for level in range(m1.levels):
+        assert list(g1["pred_label_top1_level_%d" % level]) == \
+            list(g2["pred_label_top1_level_%d" % level])
+        np.testing.assert_allclose(
+            g1["top1_score_level_%d" % level], g2["top1_score_level_%d" % level],
+            atol=1e-5,
+        )
+
+
+def test_tile_predictor_sharded_matches_single(eight_devices):
+    """make_tile_predictor(mesh=...) shards the window axis via shard_map and
+    reproduces the single-device per-crown scores."""
+    from deeptreeattention_tpu.geo.affine import from_origin
+    from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
+    from deeptreeattention_tpu.ops import windows as W
+
+    bands_raw, bands, classes = 28, 8, 3
+    rng = np.random.RandomState(2)
+    tile = jnp.asarray(rng.randint(0, 10000, (64, 64, bands_raw)), jnp.float32)
+    model = SpectralNetwork(bands=bands, classes=classes)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 11, 11, bands)))
+    t = from_origin(0.0, 64.0, 1.0, 1.0)
+    bounds = [(5.0, 50.0, 9.0, 55.0), (30.0, 20.0, 34.0, 25.0)]
+    anchors, ids, mask = W.crown_pixel_anchors(bounds, t, budget=64)
+    apply_fn = lambda v, x: model.apply(v, x, train=False)
+
+    single = np.asarray(
+        W.make_tile_predictor(apply_fn)(variables, tile, anchors, ids, mask, 2)
+    )
+    mesh = mesh_mod.make_mesh(8)
+    sharded = np.asarray(
+        W.make_tile_predictor(apply_fn, mesh=mesh)(variables, tile, anchors, ids, mask, 2)
+    )
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
