@@ -107,8 +107,11 @@ class Box(Geometry):
     geom_type = "Polygon"
 
     def __init__(self, minx, miny, maxx, maxy):
-        self.minx, self.miny = float(minx), float(miny)
-        self.maxx, self.maxy = float(maxx), float(maxy)
+        # shapely.geometry.box accepts swapped coordinates (the polygon's
+        # .bounds normalizes them); store normalized so bounds/area/contains
+        # agree with shapely for inverted inputs
+        self.minx, self.maxx = sorted((float(minx), float(maxx)))
+        self.miny, self.maxy = sorted((float(miny), float(maxy)))
 
     @property
     def bounds(self):

@@ -71,17 +71,31 @@ class UTMDataset:
 
     train = False
 
+    # open raster handles kept per dataset, LRU-capped: one tile sweep uses a
+    # handful, but a landscape sweep would otherwise leak one handle per tile
+    _SRC_CACHE_SIZE = 8
+
     def __init__(self, crowns, config=None, size=224):
+        import collections
+
         self.crowns = crowns.reset_index(drop=True)
         self.size = size
-        self._srcs = {}
+        self._srcs = collections.OrderedDict()
 
     def __len__(self):
         return len(self.crowns)
 
     def _src(self, path):
-        if path not in self._srcs:
-            self._srcs[path] = raster.open_raster(path)
+        if path in self._srcs:
+            self._srcs.move_to_end(path)
+            return self._srcs[path]
+        if len(self._srcs) >= self._SRC_CACHE_SIZE:
+            _, old = self._srcs.popitem(last=False)
+            try:
+                old.close()
+            except Exception:
+                pass
+        self._srcs[path] = raster.open_raster(path)
         return self._srcs[path]
 
     def __getitem__(self, index):

@@ -222,3 +222,13 @@ def test_zonal_stats(tmp_path):
     out = zonal.zonal_stats(geoms, path, add_stats={"q99": non_zero_99})
     assert abs(out[0]["q99"] - 12.0) < 1e-6
     assert out[1]["q99"] is None
+
+
+def test_box_normalizes_inverted_coordinates():
+    """shapely.geometry.box parity: swapped min/max args still yield
+    normalized .bounds (a polygon's bounds are coordinate min/max)."""
+    from deeptreeattention_tpu.geo.geometry import box
+
+    b = box(16.0, 80.0, 10.0, 74.0)
+    assert b.bounds == (10.0, 74.0, 16.0, 80.0)
+    assert b.area == 36.0
