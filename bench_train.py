@@ -1,0 +1,133 @@
+"""Benchmark: MultiStage-level training-step throughput on one chip.
+
+Prints ONE JSON line like bench.py. The measured unit is the flagship
+training configuration: a LearnedEnsemble level (4 year-stacked
+SpectralNetworks, 349 bands, 11x11, bf16 compute) trained with weighted CE +
+Adam at the reference's batch size scaled up for the MXU — i.e. the inner
+loop of MultiStage.fit (reference src/models/multi_stage.py:277-288 runs the
+same math per level under Lightning).
+
+Methodology matches bench.py: ITERS steps chained inside one lax.scan (the
+optimizer state is the carry, so iterations serialize), and each timed call
+ends in a device->host scalar read — on the axon relay only a host read
+proves execution happened. Buffers are donated, as in the production step.
+
+Env:
+  DTA_BENCH_SMALL=1   tiny shapes for a CPU smoke run
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    try:  # reuse compiled programs across bench runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import optax
+
+    from deeptreeattention_tpu.models.year import LearnedEnsemble
+    from deeptreeattention_tpu.train.steps import weighted_cross_entropy
+
+    small = bool(os.environ.get("DTA_BENCH_SMALL"))
+    YEARS = 2 if small else 4
+    BANDS = 8 if small else 349
+    CLASSES = 3 if small else 20
+    BATCH = 8 if small else 512
+    ITERS = 2 if small else 8
+
+    model = LearnedEnsemble(
+        years=YEARS, classes=CLASSES, bands=BANDS, dtype=jnp.bfloat16
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, YEARS, 11, 11, BANDS), jnp.float32)
+    y = jnp.asarray(rng.randint(0, CLASSES, BATCH), jnp.int32)
+    mask = jnp.ones(BATCH, jnp.float32)
+    weights = jnp.ones(CLASSES, jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    optimizer = optax.adam(1e-4)
+
+    def one_step(params, batch_stats, opt_state, images):
+        def loss_fn(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            return (
+                weighted_cross_entropy(logits, y, weights, mask),
+                mutated["batch_stats"],
+            )
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    @partial_jit
+    def bench_fn(params, batch_stats, opt_state, x):
+        def body(carry, _):
+            params, stats, opt, acc = carry
+            params, stats, opt, loss = one_step(params, stats, opt, x)
+            return (params, stats, opt, acc + loss), None
+
+        (params, stats, opt, acc), _ = jax.lax.scan(
+            body, (params, batch_stats, opt_state, jnp.float32(0.0)), None,
+            length=ITERS,
+        )
+        return params, stats, opt, acc
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    opt_state = optimizer.init(params)
+
+    def run(params, stats, opt_state):
+        params, stats, opt_state, acc = bench_fn(params, stats, opt_state, x)
+        float(acc)  # host read forces execution
+        return params, stats, opt_state
+
+    params, stats, opt_state = run(params, stats, opt_state)  # compile + run
+    params, stats, opt_state = run(params, stats, opt_state)  # warm
+
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, stats, opt_state = run(params, stats, opt_state)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    steps_per_sec = ITERS / dt
+    samples_per_sec = BATCH * ITERS / dt
+    # no published reference training throughput exists (BASELINE.md);
+    # vs_baseline uses the inference north star's scale /3 (fwd+bwd ~ 3x fwd)
+    target = 50000.0 / 3
+    print(
+        json.dumps(
+            {
+                "metric": "multistage_train_throughput",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/sec/chip (batch {} x {} years, 11x11x349, fwd+bwd+adam)".format(
+                    BATCH, YEARS
+                ),
+                "vs_baseline": round(samples_per_sec / target, 3),
+                "steps_per_sec": round(steps_per_sec, 3),
+            }
+        )
+    )
+
+
+def partial_jit(fn):
+    import jax
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+if __name__ == "__main__":
+    main()

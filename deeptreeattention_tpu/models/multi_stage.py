@@ -261,7 +261,7 @@ class MultiStage:
             self.opt_states.append(opt_state)
             self.schedulers.append(optim.ReduceLROnPlateau(lr))
             self.loss_weights.append(lw)
-            self._train_steps.append(steps.make_train_step(model.apply, optimizer))
+            self._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
             self._eval_steps.append(steps.make_eval_step(model.apply))
             self._val_steps.append(steps.make_loss_eval_step(model.apply))
 
@@ -637,7 +637,7 @@ class MultiStage:
                 sched.load_state_dict(state[level])
             obj.schedulers.append(sched)
             obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
-            obj._train_steps.append(steps.make_train_step(model.apply, optimizer))
+            obj._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
             obj._eval_steps.append(steps.make_eval_step(model.apply))
             obj._val_steps.append(steps.make_loss_eval_step(model.apply))
         return obj

@@ -130,11 +130,12 @@ def predict_species(crowns, m, config):
     return results.merge(crowns, on="individual")
 
 
-def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=None):
+def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=None,
+                             slab_rows=None):
     """Crop-file-free species prediction: stream the per-year HSI tiles to
-    HBM once, gather every crown window + NEAREST resize + preprocess on
-    device, and run all hierarchy levels — the TPU-native fast path that
-    replaces generate_prediction_crops + .npy reloading.
+    HBM, gather every crown window + NEAREST resize + preprocess on device,
+    and run all hierarchy levels — the TPU-native fast path that replaces
+    generate_prediction_crops + .npy reloading.
 
     hsi_tile_paths: {tile_year: path} covering the crowns' tile. Years absent
     from m.years are ignored; m.years absent here yield zero images (masked
@@ -143,6 +144,14 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
     mesh (default: m.mesh) shards each crown chunk's batch axis over the
     devices, params replicated — the landscape sweep runs data-parallel over
     ICI (SURVEY §5). Chunks are padded to the mesh size and stripped after.
+
+    slab_rows (default: config["ondevice_slab_rows"]) bounds HBM: instead of
+    resident whole per-year tiles (~1.5 GB/year for a 1 km^2 369-band f32
+    tile), crowns are processed in row-sorted chunks and only a fixed
+    slab_rows-tall row slab per year is transferred per chunk — identical
+    results to the whole-tile path (windows are self-contained in their
+    slab; tested). Transfers are double-buffered: slab k+1 uploads while
+    chunk k computes.
     """
     import jax
     import jax.numpy as jnp
@@ -152,20 +161,22 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
     from deeptreeattention_tpu.parallel import data_sharding
 
     mesh = mesh if mesh is not None else getattr(m, "mesh", None)
+    if slab_rows is None:
+        slab_rows = config.get("ondevice_slab_rows")
 
     size = config["image_size"]
     bands = config["bands"]
 
-    # pixel bounds per crown per year-tile (transforms can differ per year)
+    # host tiles + pixel bounds per crown per year (transforms can differ)
     hsi_tile_paths = {str(y): p for y, p in hsi_tile_paths.items()}
-    tiles = {}
+    host_tiles = {}
     bounds_px = {}
     for year, path in hsi_tile_paths.items():
         with raster.open_raster(path) as src:
             arr = src.read()  # [C, H, W]
             t = src.transform
-        tiles[year] = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)), jnp.float32)
+        host_tiles[year] = np.ascontiguousarray(
+            np.moveaxis(arr, 0, -1), dtype=np.float32
         )
         rect = []
         for g in crowns.geometry:
@@ -184,42 +195,96 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
         return minmax_scale_pixels(win)
 
     n = len(crowns)
-    outputs = []
-    individuals = np.asarray(crowns.individual)
-    for start in range(0, n, chunk):
-        idx = slice(start, min(start + chunk, n))
+    order = np.arange(n)
+    if slab_rows is not None:
+        # row-sort crowns so each chunk's windows live in one short slab
+        first = next(iter(bounds_px.values()))
+        order = np.argsort(first[:, 0], kind="stable")
+        for rect in bounds_px.values():
+            if rect[:, 2].max() > slab_rows:
+                raise ValueError(
+                    "slab_rows={} smaller than the tallest crown ({} px)".format(
+                        slab_rows, int(rect[:, 2].max())
+                    )
+                )
+    else:
+        # whole tiles resident in HBM (fastest when they fit)
+        device_tiles = {
+            year: jax.device_put(jnp.asarray(tile))
+            for year, tile in host_tiles.items()
+        }
+
+    def chunk_images(idx):
+        """[k, Y, S, S, C] crown images for crown indices idx (device)."""
         per_year = []
         for year in m.years:
             key = str(year)
-            if key in tiles:
-                per_year.append(year_images(tiles[key], bounds_px[key][idx]))
+            if key not in host_tiles:
+                per_year.append(jnp.zeros((len(idx), size, size, bands), jnp.float32))
+                continue
+            rect = bounds_px[key][idx]
+            if slab_rows is None:
+                per_year.append(year_images(device_tiles[key], rect))
             else:
-                per_year.append(
-                    jnp.zeros((idx.stop - idx.start, size, size, bands), jnp.float32)
-                )
-        images = jnp.stack(per_year, axis=1)  # [B, Y, S, S, C]
-        k = images.shape[0]
+                h = host_tiles[key].shape[0]
+                eff = min(slab_rows, h)
+                start = int(rect[:, 0].min())
+                start = max(0, min(start, h - eff))
+                if int((rect[:, 0] + rect[:, 2]).max()) > start + eff and \
+                        int((rect[:, 0] + rect[:, 2]).max()) <= h:
+                    raise ValueError(
+                        "chunk row span exceeds slab_rows={}; lower `chunk` or "
+                        "raise slab_rows".format(slab_rows)
+                    )
+                slab = jax.device_put(jnp.asarray(host_tiles[key][start:start + eff]))
+                local = rect.copy()
+                local[:, 0] -= start
+                per_year.append(year_images(slab, local))
+        return jnp.stack(per_year, axis=1)
+
+    individuals = np.asarray(crowns.individual)
+    chunk_idx = [order[s:s + chunk] for s in range(0, n, chunk)]
+    pending = []
+    outputs = []
+
+    def drain(one=False):
+        while pending and (len(pending) > 1 or not one):
+            inds, k, device_probs = pending.pop(0)
+            outputs.append((inds, [np.asarray(p)[:k] for p in device_probs]))
+            if one:
+                break
+
+    for idx in chunk_idx:
+        k = len(idx)
+        if k < chunk and len(chunk_idx) > 1:
+            # pad the tail chunk to the static chunk size (one compiled
+            # program shape; padded rows stripped via k)
+            idx = np.concatenate([idx, np.full(chunk - k, idx[-1], idx.dtype)])
+        images = chunk_images(idx)
         if mesh is not None:
             nd = mesh.devices.size
-            target = ((k + nd - 1) // nd) * nd
-            if target != k:
+            b = images.shape[0]
+            target = ((b + nd - 1) // nd) * nd
+            if target != b:
                 images = jnp.concatenate(
-                    [images, jnp.zeros((target - k,) + images.shape[1:], images.dtype)]
+                    [images, jnp.zeros((target - b,) + images.shape[1:], images.dtype)]
                 )
             # sharded batch axis + replicated params -> GSPMD partitions the
             # already-compiled eval step over the mesh
             images = jax.device_put(images, data_sharding(mesh))
         level_probs = [
-            np.asarray(
-                m._eval_steps[level](
-                    m.variables[level]["params"],
-                    m.variables[level].get("batch_stats", {}),
-                    images,
-                )
-            )[:k]
+            m._eval_steps[level](
+                m.variables[level]["params"],
+                m.variables[level].get("batch_stats", {}),
+                images,
+            )
             for level in range(m.levels)
         ]
-        outputs.append((individuals[idx], level_probs))
+        pending.append((individuals[idx[:k]], k, level_probs))
+        # double buffer: block on the oldest chunk once two are in flight,
+        # which also frees its slab's HBM before the next upload
+        drain(one=True)
+    drain()
 
     results = m.gather_predictions(outputs)
     results = m.ensemble(results)

@@ -49,7 +49,7 @@ class TreeModel:
             loss_weight = np.ones(classes, np.float32)
         self.loss_weight = jnp.asarray(loss_weight, jnp.float32)
 
-        self._train_step = steps.make_train_step(model.apply, self.optimizer)
+        self._train_step = steps.make_train_step(model.apply, self.optimizer, donate=True)
         self._eval_step = steps.make_eval_step(model.apply)
         self._val_step = steps.make_loss_eval_step(model.apply)
         self.metrics = M.MetricCollection(classes, top_k=cfg.get("top_k"))

@@ -78,3 +78,64 @@ def test_predict_tile_ondevice_sharded_matches_single(m, config, fixtures_dir):
     np.testing.assert_allclose(
         single.ens_score.astype(float), sharded.ens_score.astype(float), atol=1e-5
     )
+
+
+def test_predict_species_ondevice_slab_matches_whole_tile(m, config, fixtures_dir):
+    """Slab-streamed HBM-bounded path == whole-tile-resident path, with
+    crowns spread across the tile and chunking forcing several slabs."""
+    import numpy as np
+
+    from deeptreeattention_tpu.data import neon_paths
+
+    rng = np.random.RandomState(7)
+    geoms, rows = [], []
+    for i in range(9):
+        x0 = 726005.0 + (i % 3) * 60 + rng.randint(0, 10)
+        y0 = 4699010.0 + (i // 3) * 60 + rng.randint(0, 10)
+        geoms.append(geometry.box(x0, y0, x0 + 4 + (i % 2), y0 + 5))
+        rows.append({"individual": "s%02d" % i})
+    crowns = vector.GeoDataFrame(pd.DataFrame(rows), geometry=geoms, crs=32617)
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+
+    whole = predict_api.predict_species_ondevice(crowns, tile_paths, m, config, chunk=4)
+    slab = predict_api.predict_species_ondevice(
+        crowns, tile_paths, m, config, chunk=4, slab_rows=80
+    )
+    whole = whole.sort_values("individual").reset_index(drop=True)
+    slab = slab.sort_values("individual").reset_index(drop=True)
+    assert list(whole.individual) == list(slab.individual)
+    assert list(whole.ensembleTaxonID) == list(slab.ensembleTaxonID)
+    np.testing.assert_allclose(
+        whole.ens_score.astype(float), slab.ens_score.astype(float), atol=1e-6
+    )
+    for level in range(m.levels):
+        np.testing.assert_allclose(
+            whole["top1_score_level_%d" % level], slab["top1_score_level_%d" % level],
+            atol=1e-6,
+        )
+
+
+def test_predict_species_ondevice_slab_too_small_raises(m, config, fixtures_dir):
+    import numpy as np
+
+    from deeptreeattention_tpu.data import neon_paths
+
+    crowns = vector.GeoDataFrame(
+        pd.DataFrame({"individual": ["big"]}),
+        geometry=[geometry.box(726010, 4699010, 726018, 4699060)],  # 50 px tall
+        crs=32617,
+    )
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+    with pytest.raises(ValueError, match="slab_rows"):
+        predict_api.predict_species_ondevice(
+            crowns, tile_paths, m, config, slab_rows=20
+        )
