@@ -131,13 +131,92 @@ class LocalMaximaDetector(Detector):
         return boxes[(boxes.xmax > boxes.xmin) & (boxes.ymax > boxes.ymin)]
 
 
+class CrownDetector(Detector):
+    """Meter-parameterized, device-backed crown detector (the default).
+
+    Parameters are physical (meters) and are converted to pixels per tile
+    from the raster's resolution, so the same detector works at NEON's
+    0.1 m RGB and 1 m HSI scales. The whole tile runs as ONE jit program on
+    device (ops/detect.py) — no host patch sweep.
+
+    Quality is pinned quantitatively against DeepForest's boxes on the
+    reference HARV fixture (tests/test_detection_quality.py): recall@IoU0.4
+    = 1.0, mean IoU ~0.7 with the defaults.
+    """
+
+    def __init__(self, crown_diameter=6.0, edge_fraction=0.6, thr_quantile=0.5,
+                 min_size_m=0.5, max_crowns=10000):
+        self.crown_diameter = crown_diameter
+        self.edge_fraction = edge_fraction
+        self.thr_quantile = thr_quantile
+        self.min_size_m = min_size_m
+        self.max_crowns = max_crowns
+        self._fns = {}
+
+    def _detect_fn(self, res, shape):
+        from deeptreeattention_tpu.ops import detect as D
+
+        d_px = max(self.crown_diameter / res, 2.0)
+        sigma = max(d_px * 0.25, 0.5)
+        min_distance = max(int(d_px * 0.5), 1)
+        max_size = max(int(d_px), 2)
+        budget = int(min(self.max_crowns, max(shape[0] * shape[1] // 16, 16)))
+        key = (round(res, 6), budget)
+        if key not in self._fns:
+            self._fns[key] = D.make_detector(
+                sigma=sigma,
+                min_distance=min_distance,
+                max_size=max_size,
+                min_size=max(int(self.min_size_m / res), 1),
+                edge_fraction=self.edge_fraction,
+                thr_quantile=self.thr_quantile,
+                budget=budget,
+            )
+        return self._fns[key]
+
+    def predict_array(self, image, res=1.0):
+        """[H, W, C] or [H, W] array -> boxes df in pixel coordinates."""
+        import jax.numpy as jnp
+
+        if image is None or image.size == 0:
+            return None
+        img = jnp.asarray(np.asarray(image, np.float32))
+        surface = img.mean(axis=-1) if img.ndim == 3 else img
+        boxes, scores, valid = self._detect_fn(res, surface.shape)(surface)
+        boxes, scores, valid = np.asarray(boxes), np.asarray(scores), np.asarray(valid)
+        boxes, scores = boxes[valid], scores[valid]
+        df = pd.DataFrame(
+            {"xmin": boxes[:, 0], "ymin": boxes[:, 1],
+             "xmax": boxes[:, 2], "ymax": boxes[:, 3],
+             "score": scores, "label": self.label}
+        )
+        return df[(df.xmax > df.xmin) & (df.ymax > df.ymin)].reset_index(drop=True)
+
+    def predict_image(self, image):
+        return self.predict_array(image, res=1.0)
+
+    def predict_tile(self, path, patch_size=None, overlap=0):
+        """Whole tile in one device program (pixel coordinates)."""
+        with raster.open_raster(path) as src:
+            img = src.read()
+            res = abs(src.transform.a)
+        img = np.moveaxis(img, 0, -1)
+        out = self.predict_array(img, res=res)
+        if out is None or out.empty:
+            return None
+        out["image_path"] = path
+        return out
+
+
 def load_detector(config=None):
     """Detector factory: config["crown_detector"] names a LearnedDetector
-    checkpoint directory (models/detector.py); default is the deterministic
-    classical detector."""
-    ckpt = (config or {}).get("crown_detector")
+    checkpoint directory (models/detector.py); default is the device-backed
+    meter-aware CrownDetector. config["crown_diameter"] tunes the physical
+    crown-size prior."""
+    config = config or {}
+    ckpt = config.get("crown_detector")
     if ckpt:
         from deeptreeattention_tpu.models.detector import LearnedDetector
 
         return LearnedDetector.load_from_checkpoint(ckpt, config=config)
-    return LocalMaximaDetector()
+    return CrownDetector(crown_diameter=config.get("crown_diameter", 6.0))

@@ -1,0 +1,73 @@
+"""Quantitative crown-detection quality vs DeepForest ground truth.
+
+The reference's crown quality comes from DeepForest's released RetinaNet
+(reference src/generate.py:17-60); its boxes for the HARV fixture tile are
+committed as /root/reference/tests/data/crown.shp. This suite pins our
+detector's recall and IoU against those boxes so detection quality is a
+measured number, not an assumption. Skipped without the reference checkout.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from deeptreeattention_tpu.data.detection import CrownDetector
+from deeptreeattention_tpu.geo import raster, vector
+
+REF = "/root/reference/tests/data"
+TILE = os.path.join(REF, "2019_D01_HARV_DP3_726000_4699000_image_crop_2019.tif")
+GT = os.path.join(REF, "crown.shp")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(TILE), reason="reference checkout not available"
+)
+
+
+def _iou(a, b):
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    union = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_detection_recall_vs_deepforest():
+    det = CrownDetector()
+    boxes = det.predict_tile(TILE)
+    assert boxes is not None and len(boxes) >= 2
+    # over-segmentation guard: a 10 x 27 m crop should hold a handful of
+    # crowns, not hundreds
+    assert len(boxes) <= 20
+
+    with raster.open_raster(TILE) as src:
+        t = src.transform
+    utm = [
+        (
+            t.a * row.xmin + t.c,
+            t.f + t.e * row.ymax,
+            t.a * row.xmax + t.c,
+            t.f + t.e * row.ymin,
+        )
+        for row in boxes.itertuples()
+    ]
+    gt = vector.read_file(GT)
+    ious = [max(_iou(g.bounds, d) for d in utm) for g in gt.geometry]
+    recall_04 = np.mean([i >= 0.4 for i in ious])
+    assert recall_04 == 1.0, "recall@IoU0.4 {} (ious {})".format(recall_04, ious)
+    assert np.mean(ious) >= 0.5, "mean IoU {} below 0.5 (ious {})".format(
+        np.mean(ious), ious
+    )
+
+
+def test_detector_meter_parameterization():
+    """The same detector at 10x coarser resolution finds the same crowns:
+    physical (meter) parameters adapt per tile resolution."""
+    with raster.open_raster(TILE) as src:
+        img = np.moveaxis(src.read(), 0, -1).astype(np.float32)
+    fine = CrownDetector().predict_array(img, res=0.1)
+    # 10x downsampled copy of the tile at res=1.0 m
+    coarse_img = img[::10, ::10]
+    coarse = CrownDetector().predict_array(coarse_img, res=1.0)
+    assert fine is not None and coarse is not None
+    # crown counts in the same ballpark across scales (not 100x apart)
+    assert 0.3 <= len(coarse) / max(len(fine), 1) <= 3.0, (len(fine), len(coarse))

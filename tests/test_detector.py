@@ -43,7 +43,7 @@ def test_decode_roundtrip():
 
 
 def test_factory_loads_learned_checkpoint(tmp_path):
-    from deeptreeattention_tpu.data.detection import LocalMaximaDetector, load_detector
+    from deeptreeattention_tpu.data.detection import CrownDetector, load_detector
 
     det = LearnedDetector(width=16, patch=64)
     path = str(tmp_path / "det")
@@ -51,7 +51,9 @@ def test_factory_loads_learned_checkpoint(tmp_path):
     loaded = load_detector({"crown_detector": path})
     assert isinstance(loaded, LearnedDetector)
     assert loaded.model.width == 16
-    assert isinstance(load_detector({}), LocalMaximaDetector)
+    default = load_detector({})
+    assert isinstance(default, CrownDetector)
+    assert load_detector({"crown_diameter": 4.0}).crown_diameter == 4.0
 
 
 @pytest.mark.slow
