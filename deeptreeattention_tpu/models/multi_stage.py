@@ -43,9 +43,12 @@ class MultiStage:
         self.key = jax.random.PRNGKey(seed)
         # data-parallel mesh: batches shard on the leading axis, params
         # replicate; GSPMD inserts the gradient all-reduce over ICI
+        from deeptreeattention_tpu.ops.preprocess import make_augmenter
         from deeptreeattention_tpu.parallel import resolve_mesh
 
         self.mesh = resolve_mesh(config, mesh)
+        # opt-in extended augmentation (flips are already in the dataset)
+        self._augmenter = make_augmenter(config.get("augmentations"))
 
         self.train_df = train_df.copy() if train_df is not None else None
         self.test_df = test_df.copy() if test_df is not None else None
@@ -399,6 +402,9 @@ class MultiStage:
                     except StopIteration:
                         continue
                 images, labels, mask = batch["HSI"], batch["label"], batch["mask"]
+                if self._augmenter is not None:
+                    self.key, sub = jax.random.split(self.key)
+                    images = self._augmenter(images, sub)
                 params, stats, opt_state, loss = self._train_steps[level](
                     self.variables[level]["params"],
                     self.variables[level].get("batch_stats", {}),
@@ -593,6 +599,9 @@ class MultiStage:
         obj.config = config
         obj.crowns = crowns
         obj.mesh = resolve_mesh(config)
+        from deeptreeattention_tpu.ops.preprocess import make_augmenter
+
+        obj._augmenter = make_augmenter(config.get("augmentations"))
         obj.rng = np.random.RandomState(0)
         obj.key = jax.random.PRNGKey(0)
         obj.train_df = train_df

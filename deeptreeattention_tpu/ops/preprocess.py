@@ -155,3 +155,59 @@ def load_image(img_path, image_size, augment=False):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         return preprocess_image_np(image, image_size=image_size, augment=augment)
+
+
+# ---------------------------------------------------------------------------
+# extended train-time augmentation (device-side, batched, opt-in)
+# ---------------------------------------------------------------------------
+
+def augment_batch(images, key, flip_p=0.5, spectral_jitter=0.0, brightness=0.0,
+                  cutout=0):
+    """Stochastic batched augmentation on device (jit-friendly, static cfg).
+
+    images: [B, ..., S, S, C] (year-stacked batches augment consistently
+    across years). Reference augmentation is flips only
+    (src/augmentation.py:4-16); spectral jitter (per-band multiplicative
+    noise), brightness scaling, and cutout are the natural HSI extensions,
+    opt-in via config["augmentations"].
+    """
+    images = jnp.asarray(images)
+    b = images.shape[0]
+    kh, kv, ks, kb, kr, kc = jax.random.split(key, 6)
+    expand = (slice(None),) + (None,) * (images.ndim - 1)
+
+    if flip_p:
+        do_h = jax.random.bernoulli(kh, flip_p, (b,))[expand]
+        do_v = jax.random.bernoulli(kv, flip_p, (b,))[expand]
+        images = jnp.where(do_h, images[..., :, ::-1, :], images)
+        images = jnp.where(do_v, images[..., ::-1, :, :], images)
+    if spectral_jitter:
+        factor = 1.0 + spectral_jitter * jax.random.normal(
+            ks, (b,) + (1,) * (images.ndim - 2) + (images.shape[-1],)
+        )
+        images = images * jnp.maximum(factor, 0.0)
+    if brightness:
+        scale = 1.0 + brightness * jax.random.uniform(kb, (b,), minval=-1.0, maxval=1.0)
+        images = images * scale[expand]
+    if cutout:
+        s_h, s_w = images.shape[-3], images.shape[-2]
+        r0 = jax.random.randint(kr, (b,), 0, max(s_h - cutout, 1))
+        c0 = jax.random.randint(kc, (b,), 0, max(s_w - cutout, 1))
+        rows = jnp.arange(s_h)
+        cols = jnp.arange(s_w)
+        rmask = (rows[None] >= r0[:, None]) & (rows[None] < r0[:, None] + cutout)
+        cmask = (cols[None] >= c0[:, None]) & (cols[None] < c0[:, None] + cutout)
+        hole = rmask[:, :, None] & cmask[:, None, :]  # [B, S, S]
+        hole = hole[(slice(None),) + (None,) * (images.ndim - 4) + (Ellipsis, None)]
+        images = jnp.where(hole, 0.0, images)
+    return images
+
+
+def make_augmenter(cfg):
+    """config["augmentations"] dict -> jit fn(images, key) (None if empty)."""
+    cfg = dict(cfg or {})
+    if not any(cfg.values()):
+        return None
+    import functools
+
+    return jax.jit(functools.partial(augment_batch, **cfg))

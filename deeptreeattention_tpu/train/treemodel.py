@@ -32,6 +32,9 @@ class TreeModel:
         self.key = jax.random.PRNGKey(seed)
         # data-parallel mesh: batch axis sharded, params replicated (GSPMD)
         self.mesh = resolve_mesh(config, mesh)
+        from deeptreeattention_tpu.ops.preprocess import make_augmenter
+
+        self._augmenter = make_augmenter(config.get("augmentations"))
 
         cfg = config
         years = cfg.get("n_years", 1)
@@ -71,11 +74,15 @@ class TreeModel:
             for bi, batch in enumerate(self._iter_batches(loader)):
                 if (fast_dev_run or cfg.get("fast_dev_run")) and bi > 0:
                     break
+                images = batch["HSI"]
+                if self._augmenter is not None:
+                    self.key, sub = jax.random.split(self.key)
+                    images = self._augmenter(images, sub)
                 params, stats, self.opt_state, loss = self._train_step(
                     self.variables["params"],
                     self.variables.get("batch_stats", {}),
                     self.opt_state,
-                    batch["HSI"],
+                    images,
                     batch["label"],
                     batch["mask"],
                     self.loss_weight,

@@ -70,3 +70,42 @@ def test_full_chain_shape_and_range():
     out = np.asarray(preprocess.preprocess_image(img, image_size=11))
     assert out.shape == (11, 11, 349)
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_augment_batch_extended():
+    """Extended device augmentation: shapes preserved, stochastic flips,
+    spectral jitter per band, cutout zeros a patch."""
+    import jax
+
+    from deeptreeattention_tpu.ops.preprocess import augment_batch, make_augmenter
+
+    rng = np.random.RandomState(0)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.rand(6, 3, 11, 11, 8), jnp.float32)  # year-stacked
+    key = jax.random.PRNGKey(0)
+    out = augment_batch(x, key, flip_p=0.5, spectral_jitter=0.05,
+                        brightness=0.1, cutout=3)
+    assert out.shape == x.shape
+    assert bool((np.asarray(out) != np.asarray(x)).any())
+    # cutout only: exactly one 3x3 spatial hole per sample, all years
+    hole = np.asarray(augment_batch(x, key, flip_p=0.0, cutout=3))
+    zeros_per_sample = (hole == 0).all(axis=(1, 4)).sum(axis=(1, 2))
+    assert (zeros_per_sample >= 9).all()
+    # no-op config -> None augmenter
+    assert make_augmenter(None) is None
+    assert make_augmenter({"flip_p": 0.0}) is None
+    fn = make_augmenter({"spectral_jitter": 0.05})
+    assert fn is not None
+    out2 = fn(x, key)
+    assert out2.shape == x.shape
+
+
+def test_multistage_trains_with_augmentations(dm, config):
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    cfg = dict(config)
+    cfg["augmentations"] = {"flip_p": 0.5, "spectral_jitter": 0.02, "cutout": 2}
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=cfg)
+    history = m.fit(epochs=1, fast_dev_run=True)
+    assert all(np.isfinite(history[0]["train_loss"]))
