@@ -69,12 +69,60 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.dta_tiff_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.dta_deflate_segments.restype = ctypes.c_int
+        lib.dta_deflate_segments.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:  # older .so built before the writer API
+        pass
     _LIB = lib
     return _LIB
 
 
 def available():
     return _load() is not None
+
+
+def deflate_segments(segments, level=6, workers=None):
+    """Deflate-compress a list of bytes in parallel C++ threads.
+
+    Returns a list of compressed bytes (zlib-stream format, identical
+    container to zlib.compress). None when the native library (or its
+    writer API) is unavailable — callers fall back to zlib.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dta_deflate_segments"):
+        return None
+    if not segments:
+        return []
+    if workers is None:
+        workers = min(len(segments), os.cpu_count() or 1)
+    sizes = np.asarray([len(s) for s in segments], np.int64)
+    offsets = np.zeros(len(segments), np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    data = b"".join(segments)
+    # zlib compressBound ~ n + n/1000 + 64; use a safe stride
+    stride = int(sizes.max() + sizes.max() // 512 + 128)
+    out = np.empty(len(segments) * stride, np.uint8)
+    out_sizes = np.zeros(len(segments), np.int64)
+    failures = lib.dta_deflate_segments(
+        data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(segments), int(level), int(workers),
+        out.ctypes.data_as(ctypes.c_void_p), stride,
+        out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if failures:
+        return None
+    return [
+        out[i * stride : i * stride + int(out_sizes[i])].tobytes()
+        for i in range(len(segments))
+    ]
 
 
 class NativeRaster:

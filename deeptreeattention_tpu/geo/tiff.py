@@ -14,6 +14,7 @@ Windowed reads decode only the strips/tiles intersecting the window — the
 property the tile-prediction hot loop depends on (reference reads 11x11
 windows out of ~700MB HSI tiles via rasterio; see reference src/patches.py).
 """
+import os
 import struct
 import zlib
 
@@ -321,7 +322,17 @@ def write_tiff(path, array, transform=None, crs=None, compress=None,
 
     if compress == "deflate":
         comp_id = 8
-        segments = [zlib.compress(s, 6) for s in segments]
+        compressed = None
+        if not os.environ.get("DTA_PY_TIFF"):
+            try:  # parallel C++ deflate (threads pay off on multi-core hosts)
+                from deeptreeattention_tpu.geo import native
+
+                compressed = native.deflate_segments(segments, level=6)
+            except Exception:
+                compressed = None
+        segments = compressed if compressed is not None else [
+            zlib.compress(s, 6) for s in segments
+        ]
     else:
         comp_id = 1
 

@@ -196,6 +196,73 @@ class LearnedDetector(Detector):
         boxes["ymin"] = boxes.ymin.clip(lower=0)
         return boxes
 
+    def predict_tile(self, path, patch_size=None, overlap=0, batch=16):
+        """Tile sweep with the patch grid BATCHED through one jit forward
+        (the base class loops patches host-serially; reference DeepForest
+        also sweeps 400-px windows one at a time, src/predict.py:112-138).
+        Heatmap decode stays host-side (cheap: top-k peaks per patch)."""
+        from deeptreeattention_tpu.geo import raster
+
+        patch = patch_size or self.patch
+        with raster.open_raster(path) as src:
+            img = np.moveaxis(src.read(), 0, -1).astype(np.float32)
+        if img.shape[-1] > 3:
+            img = img[..., :3]
+        h, w = img.shape[:2]
+        step = patch - overlap
+        origins = [(r0, c0) for r0 in range(0, h, step) for c0 in range(0, w, step)]
+        tiles = np.zeros((len(origins), patch, patch, 3), np.float32)
+        extents = []
+        for k, (r0, c0) in enumerate(origins):
+            chunk = img[r0 : r0 + patch, c0 : c0 + patch]
+            tiles[k, : chunk.shape[0], : chunk.shape[1]] = chunk
+            extents.append(chunk.shape[:2])
+
+        frames = []
+        for s in range(0, len(origins), batch):
+            group = tiles[s : s + batch]
+            k = len(group)
+            if k < batch:  # static batch shape -> one compiled program
+                group = np.concatenate(
+                    [group, np.zeros((batch - k,) + group.shape[1:], group.dtype)]
+                )
+            heat, sizes = self._infer_step(
+                self.variables["params"], self.variables.get("batch_stats", {}),
+                jnp.asarray(group),
+            )
+            heat, sizes = np.asarray(heat)[:k], np.asarray(sizes)[:k]
+            for g in range(k):
+                boxes = decode(heat[g], sizes[g], threshold=self.threshold)
+                if boxes.empty:
+                    continue
+                # partial edge patches are zero-padded to the full patch
+                # size; drop peaks past the true extent (the per-patch path
+                # only pads to a STRIDE multiple)
+                hh, ww = extents[s + g]
+                ph = -(-hh // STRIDE) * STRIDE
+                pw = -(-ww // STRIDE) * STRIDE
+                cx = (boxes.xmin + boxes.xmax) / 2
+                cy = (boxes.ymin + boxes.ymax) / 2
+                boxes = boxes[(cx < pw) & (cy < ph)]
+                if boxes.empty:
+                    continue
+                boxes = boxes.copy()
+                r0, c0 = origins[s + g]
+                boxes["xmin"] += c0
+                boxes["xmax"] += c0
+                boxes["ymin"] += r0
+                boxes["ymax"] += r0
+                frames.append(boxes)
+        if not frames:
+            return None
+        out = pd.concat(frames, ignore_index=True)
+        out["xmax"] = out.xmax.clip(upper=w - 1)
+        out["ymax"] = out.ymax.clip(upper=h - 1)
+        out["xmin"] = out.xmin.clip(lower=0)
+        out["ymin"] = out.ymin.clip(lower=0)
+        out["image_path"] = path
+        return out
+
     def save_checkpoint(self, path):
         return checkpoints.save_checkpoint(path, self.variables, {"width": self.model.width})
 

@@ -667,4 +667,39 @@ void dta_tiff_close(void* handle) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// parallel deflate for the GeoTIFF writer (geo/tiff.py write path).
+// data: concatenated raw segments; offsets/sizes index into it. Each output
+// segment is written at out + i * out_stride; out_sizes[i] receives the
+// compressed length (or 0 on failure). Returns the number of failures.
+// out_stride must be >= compressBound(max segment size).
+// ---------------------------------------------------------------------------
+int dta_deflate_segments(const uint8_t* data, const int64_t* offsets,
+                         const int64_t* sizes, int n_segments, int level,
+                         int workers, uint8_t* out, int64_t out_stride,
+                         int64_t* out_sizes) {
+  if (workers < 1) workers = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto work = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n_segments) return;
+      uLongf out_len = (uLongf)out_stride;
+      int rc = compress2(out + (int64_t)i * out_stride, &out_len,
+                         data + offsets[i], (uLong)sizes[i], level);
+      if (rc == Z_OK) {
+        out_sizes[i] = (int64_t)out_len;
+      } else {
+        out_sizes[i] = 0;
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < workers; i++) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 }  // extern "C"

@@ -80,3 +80,45 @@ def test_patch_throughput(big_tile):
     rate = 2000 / dt
     # loose sanity bound; typical rates are orders of magnitude higher
     assert rate > 2000, "native patch rate {:.0f}/s too slow".format(rate)
+
+
+def test_native_deflate_segments_roundtrip():
+    """Parallel C++ deflate: byte-identical container to zlib.compress and
+    inverse of zlib.decompress; writer falls back cleanly when absent."""
+    import zlib
+
+    from deeptreeattention_tpu.geo import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(0)
+    segs = [rng.bytes(65536), rng.bytes(100), b"", rng.bytes(300000)]
+    out = native.deflate_segments(segs, level=6, workers=2)
+    if out is None:
+        pytest.skip("native writer API unavailable (stale .so)")
+    assert [zlib.decompress(c) for c in out] == segs
+    assert out == [zlib.compress(s, 6) for s in segs]
+
+
+def test_write_tiff_deflate_native_matches_python(tmp_path):
+    """write_tiff(compress='deflate') through the native compressor reads
+    back bit-identical to the DTA_PY_TIFF pure-python path."""
+    import os
+
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import from_origin
+
+    arr = (np.random.RandomState(1).rand(5, 300, 280) * 30000).astype(np.int16)
+    t = from_origin(700000, 4700000, 1, 1)
+    p_native = str(tmp_path / "n.tif")
+    p_python = str(tmp_path / "p.tif")
+    raster.write_raster(p_native, arr, transform=t, crs=32617, compress="deflate", tiled=True)
+    os.environ["DTA_PY_TIFF"] = "1"
+    try:
+        raster.write_raster(p_python, arr, transform=t, crs=32617, compress="deflate", tiled=True)
+    finally:
+        del os.environ["DTA_PY_TIFF"]
+    with open(p_native, "rb") as a, open(p_python, "rb") as b:
+        assert a.read() == b.read()
+    with raster.open_raster(p_native) as src:
+        np.testing.assert_array_equal(src.read(), arr)
