@@ -32,8 +32,12 @@ class CrownDetectorNet(nn.Module):
     def __call__(self, x, train=False):
         w = self.width
         x = x.astype(self.dtype) / 255.0
-        for i, (filters, stride) in enumerate([(w, 2), (w * 2, 2), (w * 2, 1), (w * 4, 1)]):
+        # dilations widen the receptive field to ~100 px so crown-scale
+        # objects (NEON crowns are 50-100 px at 0.1 m) can be localized
+        ladder = [(w, 2, 1), (w * 2, 2, 1), (w * 2, 1, 2), (w * 4, 1, 4)]
+        for i, (filters, stride, dilation) in enumerate(ladder):
             x = nn.Conv(filters, (3, 3), (stride, stride), padding="SAME",
+                        kernel_dilation=(dilation, dilation),
                         dtype=self.dtype, name="conv{}".format(i))(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
@@ -47,11 +51,14 @@ class CrownDetectorNet(nn.Module):
         ).astype(jnp.float32)
 
 
-def render_targets(boxes_list, hw, stride=STRIDE, sigma=1.5):
+def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
     """Ground-truth heatmaps/sizes from per-image box lists.
 
     boxes_list: list (len B) of [N_i, 4] pixel boxes (xmin, ymin, xmax, ymax).
     Returns (heat [B, h, w], size [B, h, w, 2], mask [B, h, w]).
+    sigma: fixed gaussian width in heat cells; default scales with the box
+    (CenterNet's adaptive radius) so 100-px crowns get soft targets instead
+    of a single hot cell in a 25-cell-wide object.
     """
     H, W = hw
     h, w = H // stride, W // stride
@@ -65,8 +72,13 @@ def render_targets(boxes_list, hw, stride=STRIDE, sigma=1.5):
             cx = (x0 + x1) / 2 / stride
             cy = (y0 + y1) / 2 / stride
             ci, cj = int(np.clip(cy, 0, h - 1)), int(np.clip(cx, 0, w - 1))
-            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2))
+            s = sigma
+            if s is None:
+                s = max(min(x1 - x0, y1 - y0) / stride / 6.0, 1.5)
+            g = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s**2))
             heat[b] = np.maximum(heat[b], g)
+            # the exact-center cell is the positive; keep it at 1
+            heat[b, ci, cj] = 1.0
             size[b, ci, cj] = ((x1 - x0) / stride, (y1 - y0) / stride)
             mask[b, ci, cj] = 1.0
     return heat, size, mask

@@ -71,3 +71,54 @@ def test_detector_meter_parameterization():
     assert fine is not None and coarse is not None
     # crown counts in the same ballpark across scales (not 100x apart)
     assert 0.3 <= len(coarse) / max(len(fine), 1) <= 3.0, (len(fine), len(coarse))
+
+
+def test_learned_detector_trains_on_deepforest_labels():
+    """VERDICT round-1 item 3(b): train the CenterNet against
+    DeepForest-style labels and measure detection quality. Trains on random
+    crops of the reference HARV tile using crown.shp (DeepForest RetinaNet
+    boxes) as ground truth; must re-find both crowns at IoU >= 0.4."""
+    from deeptreeattention_tpu.models.detector import LearnedDetector
+
+    with raster.open_raster(TILE) as src:
+        img = np.moveaxis(src.read(), 0, -1).astype(np.float32)
+        t = src.transform
+    gt = vector.read_file(GT)
+    px_boxes = np.asarray(
+        [
+            (
+                (g.bounds[0] - t.c) / t.a,
+                (t.f - g.bounds[3]) / (-t.e),
+                (g.bounds[2] - t.c) / t.a,
+                (t.f - g.bounds[1]) / (-t.e),
+            )
+            for g in gt.geometry
+        ]
+    )
+
+    rng = np.random.RandomState(0)
+    H, W = img.shape[:2]
+    P = 96
+    scenes, blists = [], []
+    for _ in range(40):
+        r0 = rng.randint(0, H - P + 1)
+        c0 = rng.randint(0, W - P + 1)
+        crop = img[r0 : r0 + P, c0 : c0 + P]
+        bs = []
+        for (x0, y0, x1, y1) in px_boxes:
+            xx0, yy0 = max(x0 - c0, 0), max(y0 - r0, 0)
+            xx1, yy1 = min(x1 - c0, P), min(y1 - r0, P)
+            if xx1 - xx0 > 8 and yy1 - yy0 > 8:
+                bs.append((xx0, yy0, xx1, yy1))
+        scenes.append(crop)
+        blists.append(np.asarray(bs, np.float32).reshape(-1, 4))
+
+    det = LearnedDetector(width=16, patch=P, threshold=0.2)
+    losses = det.fit(np.stack(scenes), blists, steps=500, batch_size=8)
+    assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+
+    boxes = det.predict_image(img)
+    assert boxes is not None and 2 <= len(boxes) <= 10
+    dets = boxes[["xmin", "ymin", "xmax", "ymax"]].values
+    ious = [max(_iou(tuple(g), tuple(d)) for d in dets) for g in px_boxes]
+    assert all(i >= 0.4 for i in ious), ious
