@@ -28,37 +28,43 @@ def no_water_band_indexes(total=426):
 
 
 def h5refl2array(refl_filename):
-    """Read reflectance cube + metadata from a NEON AOP h5 file."""
-    import h5py
+    """Read reflectance cube + metadata from a NEON AOP h5 file.
 
-    with h5py.File(refl_filename, "r") as f:
-        sitename = list(f.keys())[0]
-        refl_group = f[sitename]["Reflectance"]
-        data = refl_group["Reflectance_Data"]
-        arr = data[:]
-        meta = {
-            "noDataVal": float(data.attrs["Data_Ignore_Value"]),
-            "scaleFactor": float(data.attrs["Scale_Factor"]),
-            "shape": arr.shape,
-            "wavelength": refl_group["Metadata"]["Spectral_Data"]["Wavelength"][()],
-        }
-        epsg = refl_group["Metadata"]["Coordinate_System"]["EPSG Code"][()]
-        meta["epsg"] = int(str(epsg).strip("b'\""))
-        map_info = str(refl_group["Metadata"]["Coordinate_System"]["Map_Info"][()])
-        parts = map_info.split(",")
-        meta["res"] = {"pixelWidth": float(parts[5]), "pixelHeight": float(parts[6])}
-        x_min = float(parts[3])
-        y_max = float(parts[4])
-        meta["ext_dict"] = {
-            "xMin": x_min,
-            "xMax": x_min + arr.shape[1] * meta["res"]["pixelWidth"],
-            "yMin": y_max - arr.shape[0] * meta["res"]["pixelHeight"],
-            "yMax": y_max,
-        }
-        meta["extent"] = (
-            meta["ext_dict"]["xMin"], meta["ext_dict"]["xMax"],
-            meta["ext_dict"]["yMin"], meta["ext_dict"]["yMax"],
-        )
+    Goes through the in-house HDF5 codec (geo/hdf5.py) with h5py as the
+    fallback for format features the codec doesn't cover."""
+    from deeptreeattention_tpu.geo import hdf5
+
+    return hdf5.read_with_fallback(refl_filename, _h5refl2array)
+
+
+def _h5refl2array(f):
+    sitename = list(f.keys())[0]
+    refl_group = f[sitename]["Reflectance"]
+    data = refl_group["Reflectance_Data"]
+    arr = data[:]
+    meta = {
+        "noDataVal": float(data.attrs["Data_Ignore_Value"]),
+        "scaleFactor": float(data.attrs["Scale_Factor"]),
+        "shape": arr.shape,
+        "wavelength": refl_group["Metadata"]["Spectral_Data"]["Wavelength"][()],
+    }
+    epsg = refl_group["Metadata"]["Coordinate_System"]["EPSG Code"][()]
+    meta["epsg"] = int(str(epsg).strip("b'\""))
+    map_info = str(refl_group["Metadata"]["Coordinate_System"]["Map_Info"][()])
+    parts = map_info.split(",")
+    meta["res"] = {"pixelWidth": float(parts[5]), "pixelHeight": float(parts[6])}
+    x_min = float(parts[3])
+    y_max = float(parts[4])
+    meta["ext_dict"] = {
+        "xMin": x_min,
+        "xMax": x_min + arr.shape[1] * meta["res"]["pixelWidth"],
+        "yMin": y_max - arr.shape[0] * meta["res"]["pixelHeight"],
+        "yMax": y_max,
+    }
+    meta["extent"] = (
+        meta["ext_dict"]["xMin"], meta["ext_dict"]["xMax"],
+        meta["ext_dict"]["yMin"], meta["ext_dict"]["yMax"],
+    )
     return meta, arr
 
 

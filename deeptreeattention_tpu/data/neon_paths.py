@@ -67,15 +67,17 @@ def domain_from_path(path):
 
 
 def elevation_from_tile(path):
-    import h5py
+    from deeptreeattention_tpu.geo import hdf5
+
+    def read(h5):
+        site = list(h5.keys())[0]
+        elev = h5[site]["Reflectance"]["Metadata"]["Ancillary_Imagery"][
+            "Smooth_Surface_Elevation"
+        ][()]
+        return float(elev.mean())
 
     try:
-        with h5py.File(path, "r") as h5:
-            site = list(h5.keys())[0]
-            elev = h5[site]["Reflectance"]["Metadata"]["Ancillary_Imagery"][
-                "Smooth_Surface_Elevation"
-            ][()]
-            return float(elev.mean())
+        return hdf5.read_with_fallback(path, read)
     except Exception as e:
         raise IOError("{} failed to read elevation: {}".format(path, e))
 

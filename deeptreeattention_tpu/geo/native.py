@@ -79,6 +79,16 @@ def _load():
         ]
     except AttributeError:  # older .so built before the writer API
         pass
+    try:
+        lib.dta_inflate_segments.restype = ctypes.c_int
+        lib.dta_inflate_segments.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:  # older .so built before the inflate API
+        pass
     _LIB = lib
     return _LIB
 
@@ -114,6 +124,45 @@ def deflate_segments(segments, level=6, workers=None):
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(segments), int(level), int(workers),
+        out.ctypes.data_as(ctypes.c_void_p), stride,
+        out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if failures:
+        return None
+    return [
+        out[i * stride : i * stride + int(out_sizes[i])].tobytes()
+        for i in range(len(segments))
+    ]
+
+
+def inflate_segments(segments, out_size, workers=None):
+    """Inflate a list of zlib-stream bytes in parallel C++ threads.
+
+    ``out_size`` is the decompressed size of every segment (HDF5 chunks all
+    decompress to full-chunk nbytes; shorter actual outputs are truncated to
+    the size the stream produced). Returns a list of bytes, or None when the
+    native library (or its inflate API) is unavailable — callers fall back
+    to zlib.decompress.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dta_inflate_segments"):
+        return None
+    if not segments:
+        return []
+    if workers is None:
+        workers = min(len(segments), os.cpu_count() or 1)
+    sizes = np.asarray([len(s) for s in segments], np.int64)
+    offsets = np.zeros(len(segments), np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    data = b"".join(segments)
+    stride = int(out_size)
+    out = np.empty(len(segments) * stride, np.uint8)
+    out_sizes = np.zeros(len(segments), np.int64)
+    failures = lib.dta_inflate_segments(
+        data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(segments), int(workers),
         out.ctypes.data_as(ctypes.c_void_p), stride,
         out_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

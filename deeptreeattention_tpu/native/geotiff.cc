@@ -702,4 +702,37 @@ int dta_deflate_segments(const uint8_t* data, const int64_t* offsets,
   return failures.load();
 }
 
+// Parallel raw-deflate decompression: segment i (at data+offsets[i],
+// sizes[i] bytes of zlib stream) inflates into out + i*out_stride.
+// out_sizes[i] receives the inflated byte count (0 on failure). Used by the
+// in-house HDF5 reader (geo/hdf5.py) where every chunk's decompressed size
+// is known up front (full chunk dims x itemsize).
+int dta_inflate_segments(const uint8_t* data, const int64_t* offsets,
+                         const int64_t* sizes, int n_segments, int workers,
+                         uint8_t* out, int64_t out_stride,
+                         int64_t* out_sizes) {
+  if (workers < 1) workers = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  auto work = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n_segments) return;
+      uLongf out_len = (uLongf)out_stride;
+      int rc = uncompress(out + (int64_t)i * out_stride, &out_len,
+                          data + offsets[i], (uLong)sizes[i]);
+      if (rc == Z_OK) {
+        out_sizes[i] = (int64_t)out_len;
+      } else {
+        out_sizes[i] = 0;
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < workers; i++) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 }  // extern "C"

@@ -1,0 +1,151 @@
+"""In-house HDF5 codec (geo/hdf5.py) vs h5py ground truth.
+
+The reference reads NEON .h5 reflectance through h5py/libhdf5
+(reference src/Hyperspectral.py:6-65); our codec parses the format
+directly. Every file here is WRITTEN by h5py (the real native library)
+and READ by the in-house parser — an open-loop compatibility check, not
+a round-trip of our own writer.
+"""
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from deeptreeattention_tpu.geo import hdf5
+
+
+@pytest.fixture(params=["earliest", "latest"])
+def h5file(request, tmp_path):
+    """One file per superblock/object-header generation h5py can emit."""
+    rng = np.random.default_rng(7)
+    p = str(tmp_path / "t_{}.h5".format(request.param))
+    with h5py.File(p, "w", libver=request.param) as f:
+        f.attrs["map_info"] = "UTM, 1, 1, 731000.0, 4713000.0, 1, 1"
+        f.attrs["epsg"] = np.int64(32618)
+        f.attrs["scale"] = 0.0001
+        g = f.create_group("HARV/Reflectance")
+        d = g.create_dataset(
+            "Reflectance_Data",
+            data=rng.integers(-100, 10000, (37, 41, 26), dtype=np.int16),
+            chunks=(16, 16, 13), compression="gzip", shuffle=True)
+        d.attrs["Data_Ignore_Value"] = -9999.0
+        g.create_dataset("contig", data=rng.random((5, 7)).astype(np.float32))
+        g.create_dataset("scalar", data=np.float64(3.5))
+        g.create_dataset("strs", data=np.array([b"a", b"bb", b"ccc"], "S3"))
+        g.create_dataset("vls", data=["alpha", "beta"],
+                         dtype=h5py.string_dtype())
+        f.create_dataset("fl32", data=rng.random(9).astype(np.float32),
+                         chunks=(4,), fletcher32=True)
+    return p
+
+
+def test_tree_and_attrs(h5file):
+    with h5py.File(h5file, "r") as ref, hdf5.File(h5file) as mine:
+        assert sorted(mine.keys()) == sorted(ref.keys())
+        assert mine.attrs["map_info"] == "UTM, 1, 1, 731000.0, 4713000.0, 1, 1"
+        assert int(mine.attrs["epsg"]) == 32618
+        assert abs(float(mine.attrs["scale"]) - 0.0001) < 1e-12
+        d = mine["HARV/Reflectance/Reflectance_Data"]
+        assert float(d.attrs["Data_Ignore_Value"]) == -9999.0
+        assert d.shape == (37, 41, 26) and d.dtype == np.int16
+        assert d.chunks == (16, 16, 13)
+        assert "HARV" in mine and "missing" not in mine
+        names = []
+        mine.visit(names.append)
+        assert "HARV/Reflectance/Reflectance_Data" in names
+
+
+def test_chunked_deflate_shuffle(h5file):
+    with h5py.File(h5file, "r") as ref, hdf5.File(h5file) as mine:
+        r = ref["HARV/Reflectance/Reflectance_Data"]
+        m = mine["HARV/Reflectance/Reflectance_Data"]
+        np.testing.assert_array_equal(r[:], m[:])
+        # lazy hyperslab: only intersecting chunks are decoded
+        np.testing.assert_array_equal(r[3:20, 5:40, :], m[3:20, 5:40, :])
+        np.testing.assert_array_equal(r[7], m[7])
+        np.testing.assert_array_equal(r[2:5, 1, 3:9], m[2:5, 1, 3:9])
+        # fancy indexing falls back to full read + numpy
+        np.testing.assert_array_equal(r[:, :, [0, 5, 11]], m[:, :, [0, 5, 11]])
+
+
+def test_contiguous_scalar_strings(h5file):
+    with h5py.File(h5file, "r") as ref, hdf5.File(h5file) as mine:
+        np.testing.assert_array_equal(ref["HARV/Reflectance/contig"][:],
+                                      mine["HARV/Reflectance/contig"][:])
+        assert float(mine["HARV/Reflectance/scalar"][()]) == 3.5
+        np.testing.assert_array_equal(ref["HARV/Reflectance/strs"][:],
+                                      mine["HARV/Reflectance/strs"][:])
+        assert list(mine["HARV/Reflectance/vls"][:]) == ["alpha", "beta"]
+
+
+def test_fletcher32(h5file):
+    with h5py.File(h5file, "r") as ref, hdf5.File(h5file) as mine:
+        np.testing.assert_array_equal(ref["fl32"][:], mine["fl32"][:])
+
+
+def test_many_chunk_parallel_inflate(tmp_path):
+    """Deflate-only many-chunk read takes the native fan-out path when the
+    C++ library is present; result identical either way."""
+    p = str(tmp_path / "big.h5")
+    rng = np.random.default_rng(1)
+    big = rng.integers(0, 30000, (64, 64, 40), dtype=np.int16)
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", data=big, chunks=(8, 8, 40), compression="gzip")
+    with hdf5.File(p) as mine:
+        np.testing.assert_array_equal(big, mine["d"][:])
+        np.testing.assert_array_equal(big[5:60, 3:33], mine["d"][5:60, 3:33])
+
+
+def test_neon_shaped_file_no_fallback(tmp_path):
+    """The real consumer path (h5refl2array) must be served by the in-house
+    parser — h5py stays a fallback, not the default."""
+    from deeptreeattention_tpu.data import hyperspectral
+
+    h, w, b = 12, 14, 426
+    rng = np.random.RandomState(0)
+    refl = rng.randint(0, 10000, size=(h, w, b)).astype(np.int16)
+    p = str(tmp_path / "NEON_D03_OSBS_DP3_405000_3286000_reflectance.h5")
+    with h5py.File(p, "w") as f:
+        g = f.create_group("OSBS").create_group("Reflectance")
+        d = g.create_dataset("Reflectance_Data", data=refl,
+                             chunks=(8, 8, 128), compression="gzip")
+        d.attrs["Data_Ignore_Value"] = -9999.0
+        d.attrs["Scale_Factor"] = 10000.0
+        meta = g.create_group("Metadata")
+        cs = meta.create_group("Coordinate_System")
+        cs.create_dataset("EPSG Code", data=np.bytes_("32617"))
+        cs.create_dataset("Map_Info", data=np.bytes_(
+            "UTM, 1.000, 1.000, 405000.00, 3286000.00, 1.0, 1.0, 17"))
+        meta.create_group("Spectral_Data").create_dataset(
+            "Wavelength", data=np.linspace(380, 2500, b))
+        meta.create_group("Ancillary_Imagery").create_dataset(
+            "Smooth_Surface_Elevation", data=np.full((h, w), 123.0))
+
+    # read the whole product through the in-house File directly (no fallback)
+    with hdf5.File(p) as f:
+        meta_mine, arr = hyperspectral._h5refl2array(f)
+    np.testing.assert_array_equal(arr, refl)
+    assert meta_mine["epsg"] == 32617
+    assert meta_mine["noDataVal"] == -9999.0
+    assert meta_mine["ext_dict"]["xMin"] == 405000.0
+
+    from deeptreeattention_tpu.data import neon_paths
+    assert neon_paths.elevation_from_tile(p) == 123.0
+
+
+def test_is_hdf5(tmp_path):
+    p = str(tmp_path / "x.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", data=np.arange(3))
+    assert hdf5.is_hdf5(p)
+    q = str(tmp_path / "not.h5")
+    with open(q, "wb") as f:
+        f.write(b"plainbytes")
+    assert not hdf5.is_hdf5(q)
+    with pytest.raises((ValueError, NotImplementedError)):
+        hdf5.File(q)
+
+
+def test_readonly_guard(tmp_path):
+    with pytest.raises(NotImplementedError):
+        hdf5.File(str(tmp_path / "w.h5"), mode="w")
