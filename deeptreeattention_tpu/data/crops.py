@@ -49,7 +49,11 @@ def crop(bounds, sensor_path=None, savedir=None, basename=None, src=None, as_num
 
 def write_crop(row, savedir, img_path, replace=True, src=None, as_numpy=False):
     """One crown x one tile-year -> crop file; returns the basename."""
-    tile_year = os.path.splitext(os.path.basename(img_path))[0].split("_")[-1]
+    if img_path.endswith(".h5"):
+        # direct NEON product (no tif conversion): year from the tile path
+        tile_year = neon_paths.year_from_tile(img_path)
+    else:
+        tile_year = os.path.splitext(os.path.basename(img_path))[0].split("_")[-1]
     basename = "{}_{}".format(row["individual"], tile_year)
     ext = ".npy" if as_numpy else ".tif"
     filename = os.path.join(savedir, basename + ext)
@@ -79,7 +83,10 @@ def generate_crops(gdf, sensor_glob, savedir, rgb_glob, client=None, convert_h5=
         x for x in glob.glob(sensor_glob, recursive=True)
         if "point_cloud" not in x and "products" not in x
     ]
-    rgb_pool = [x for x in glob.glob(rgb_glob, recursive=True) if "point_cloud" not in x]
+    rgb_pool = (
+        [x for x in glob.glob(rgb_glob, recursive=True) if "point_cloud" not in x]
+        if rgb_glob else []
+    )
 
     # geoindex -> list of per-year tile paths (h5 converted lazily)
     gdf["geo_index"] = [neon_paths.bounds_to_geoindex(g.bounds) for g in gdf.geometry]

@@ -68,6 +68,119 @@ def _h5refl2array(f):
     return meta, arr
 
 
+class H5Raster:
+    """Raster surface directly over a NEON AOP reflectance .h5.
+
+    The reference always converts .h5 -> GeoTIFF before any window read
+    (src/Hyperspectral.py:152-219, src/neon_paths.py:72-97). With the
+    in-house HDF5 codec (geo/hdf5.py) reads are lazy chunked hyperslabs,
+    so an 11x11 crown window touches only the few chunks that intersect it
+    — no 1 GB tile conversion, no intermediate file. Water-absorption bands
+    are dropped at read time, matching generate_raster's default output, so
+    downstream consumers see the identical 369-band cube either way.
+
+    Exposes the same surface as geo.raster.Raster; geo.raster.open_raster
+    dispatches here for ``*.h5`` paths.
+    """
+
+    def __init__(self, path, bands="no_water"):
+        from deeptreeattention_tpu.geo import hdf5
+        from deeptreeattention_tpu.geo.affine import (
+            Window, window_from_bounds, window_transform,
+        )
+
+        self._Window = Window
+        self._window_from_bounds = window_from_bounds
+        self._window_transform = window_transform
+        self._f = hdf5.File(path)
+        self.path = path
+        site = list(self._f.keys())[0]
+        g = self._f[site]["Reflectance"]
+        self._data = g["Reflectance_Data"]
+        cs = g["Metadata"]["Coordinate_System"]
+        self.crs = int(str(cs["EPSG Code"][()]).strip("b'\""))
+        parts = str(cs["Map_Info"][()]).split(",")
+        x_min, y_max = float(parts[3]), float(parts[4])
+        xres, yres = float(parts[5]), float(parts[6])
+        self.transform = from_origin(x_min, y_max, xres, yres)
+        try:
+            self.nodata = float(self._data.attrs["Data_Ignore_Value"])
+        except KeyError:
+            self.nodata = None
+        self.height, self.width, total = self._data.shape
+        if bands == "no_water":
+            self._band_idx = no_water_band_indexes(total)
+        elif bands == "false_color":
+            self._band_idx = np.array([16, 54, 112])
+        elif bands == "all":
+            self._band_idx = np.arange(total)
+        else:
+            raise ValueError("no band combination specified")
+        self.count = len(self._band_idx)
+        self.dtype = self._data.dtype
+
+    @property
+    def res(self):
+        return (self.transform.a, -self.transform.e)
+
+    @property
+    def bounds(self):
+        t = self.transform
+        return (t.c, t.f + t.e * self.height, t.c + t.a * self.width, t.f)
+
+    @property
+    def dtypes(self):
+        return [np.dtype(self.dtype).name] * self.count
+
+    def read(self, indexes=None, window=None, boundless=False, fill_value=0):
+        if window is None:
+            window = self._Window(0, 0, self.width, self.height)
+        else:
+            window = window.round()
+        c0, r0 = window.col_off, window.row_off
+        w, h = window.width, window.height
+        if w <= 0 or h <= 0:
+            return np.zeros((self.count, max(h, 0), max(w, 0)), self.dtype)
+        rc0, cc0 = max(r0, 0), max(c0, 0)
+        rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
+        if rc1 <= rc0 or cc1 <= cc0:
+            if boundless:
+                return np.full((self.count, h, w), fill_value, self.dtype)
+            return np.zeros((self.count, 0, 0), self.dtype)
+        cube = self._data[rc0:rc1, cc0:cc1]  # lazy: intersecting chunks only
+        inner = np.ascontiguousarray(
+            np.moveaxis(cube[:, :, self._band_idx], -1, 0))
+        if not boundless:
+            out = inner
+        else:
+            out = np.full((self.count, h, w), fill_value, self.dtype)
+            out[:, rc0 - r0:rc1 - r0, cc0 - c0:cc1 - c0] = inner
+        if indexes is not None:
+            sel = ([i - 1 for i in indexes] if not np.isscalar(indexes)
+                   else indexes - 1)
+            out = out[sel]
+        return np.ascontiguousarray(out)
+
+    def read_bounds(self, left, bottom, right, top, boundless=False):
+        win = self._window_from_bounds(left, bottom, right, top, self.transform)
+        return self.read(window=win, boundless=boundless)
+
+    def window(self, left, bottom, right, top):
+        return self._window_from_bounds(left, bottom, right, top, self.transform)
+
+    def window_transform(self, window):
+        return self._window_transform(window.round(), self.transform)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def generate_raster(h5_path, save_dir, rgb_filename=None, bands="no_water",
                     bounds=None, suffix=None):
     """Convert one h5 reflectance tile to a (optionally clipped) GeoTIFF.

@@ -98,6 +98,10 @@ class Raster:
 
 
 def open_raster(path):
+    if str(path).endswith(".h5"):  # NEON reflectance: no tif conversion needed
+        from deeptreeattention_tpu.data.hyperspectral import H5Raster
+
+        return H5Raster(path)
     return Raster(path)
 
 

@@ -6,6 +6,8 @@ directly. Every file here is WRITTEN by h5py (the real native library)
 and READ by the in-house parser — an open-loop compatibility check, not
 a round-trip of our own writer.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -131,6 +133,119 @@ def test_neon_shaped_file_no_fallback(tmp_path):
 
     from deeptreeattention_tpu.data import neon_paths
     assert neon_paths.elevation_from_tile(p) == 123.0
+
+
+def _write_neon_h5(path, refl):
+    h, w, b = refl.shape
+    with h5py.File(path, "w") as f:
+        g = f.create_group("OSBS").create_group("Reflectance")
+        d = g.create_dataset("Reflectance_Data", data=refl,
+                             chunks=(16, 16, b), compression="gzip")
+        d.attrs["Data_Ignore_Value"] = -9999.0
+        d.attrs["Scale_Factor"] = 10000.0
+        meta = g.create_group("Metadata")
+        cs = meta.create_group("Coordinate_System")
+        cs.create_dataset("EPSG Code", data=np.bytes_("32617"))
+        cs.create_dataset("Map_Info", data=np.bytes_(
+            "UTM, 1, 1, 405000.00, 3286000.00, 1.0, 1.0, 17"))
+        meta.create_group("Spectral_Data").create_dataset(
+            "Wavelength", data=np.linspace(380, 2500, b))
+
+
+def test_h5raster_matches_converted_tif(tmp_path):
+    """Direct .h5 window reads == reads from the converted GeoTIFF.
+
+    The conversion step the reference requires (src/neon_paths.py:72-97)
+    becomes optional: open_raster('*.h5') serves identical windows."""
+    from deeptreeattention_tpu.data import hyperspectral
+    from deeptreeattention_tpu.geo import raster
+
+    rng = np.random.RandomState(3)
+    refl = rng.randint(0, 10000, size=(40, 35, 426)).astype(np.int16)
+    p = str(tmp_path / "NEON_D03_OSBS_DP3_405000_3286000_reflectance.h5")
+    _write_neon_h5(p, refl)
+    name = hyperspectral.generate_raster(
+        p, save_dir=str(tmp_path), rgb_filename="2019_OSBS_x_image.tif")
+    tif = str(tmp_path / name)
+
+    with raster.open_raster(p) as h5src, raster.open_raster(tif) as tsrc:
+        assert isinstance(h5src, hyperspectral.H5Raster)
+        assert h5src.count == tsrc.count == 369
+        assert h5src.crs == tsrc.crs == 32617
+        assert h5src.transform == tsrc.transform
+        assert h5src.bounds == tsrc.bounds
+        np.testing.assert_array_equal(h5src.read(), tsrc.read())
+        # interior window through bounds
+        win = (405005.0, 3285975.0, 405016.0, 3285986.0)
+        np.testing.assert_array_equal(
+            h5src.read_bounds(*win), tsrc.read_bounds(*win))
+        # boundless edge window (reference src/patches.py:70 semantics)
+        from deeptreeattention_tpu.geo.affine import Window
+        w = Window(-3, -4, 11, 11)
+        np.testing.assert_array_equal(
+            h5src.read(window=w, boundless=True),
+            tsrc.read(window=w, boundless=True))
+        # 1-based band indexes
+        np.testing.assert_array_equal(
+            h5src.read(indexes=[1, 12]), tsrc.read(indexes=[1, 12]))
+
+
+def test_crop_direct_from_h5(tmp_path):
+    """data.crops.crop cuts crown bounds straight from the .h5 product."""
+    from deeptreeattention_tpu.data.crops import crop
+
+    rng = np.random.RandomState(4)
+    refl = rng.randint(0, 10000, size=(30, 30, 426)).astype(np.int16)
+    p = str(tmp_path / "NEON_D03_OSBS_DP3_405000_3286000_reflectance.h5")
+    _write_neon_h5(p, refl)
+    arr = crop((405003.0, 3285990.0, 405010.0, 3285997.0), sensor_path=p)
+    assert arr.shape == (369, 7, 7)
+    keep = np.ones(426, bool)
+    for lo, hi in [(419, 426), (283, 315), (192, 210)]:
+        keep[lo:hi] = False
+    np.testing.assert_array_equal(
+        arr, np.moveaxis(refl[3:10, 3:10, keep], -1, 0))
+
+
+def test_generate_crops_direct_from_h5_pool(tmp_path):
+    """Full crop generation from a raw .h5 pool with convert_h5=False —
+    the conversion stage (reference src/neon_paths.py:72-97 requires it
+    whenever the pool is h5) is skipped entirely."""
+    from deeptreeattention_tpu.data.crops import generate_crops
+    from deeptreeattention_tpu.geo import vector
+    from deeptreeattention_tpu.geo.geometry import box
+
+    rng = np.random.RandomState(5)
+    tiles = {}
+    for year in ("2018", "2019"):
+        d = tmp_path / year
+        d.mkdir()
+        refl = rng.randint(0, 10000, size=(30, 30, 426)).astype(np.int16)
+        p = str(d / "NEON_D03_OSBS_DP3_405000_3285000_reflectance.h5")
+        _write_neon_h5(p, refl)
+        tiles[year] = refl
+
+    crowns = vector.GeoDataFrame(
+        {"individual": ["a", "b"],
+         "taxonID": ["PIPA2", "QULA3"],
+         "plotID": ["p1", "p1"],
+         "siteID": ["OSBS", "OSBS"]},
+        geometry=[box(405003, 3285990, 405008, 3285995),
+                  box(405012, 3285980, 405018, 3285986)],
+        crs=32617)
+
+    savedir = str(tmp_path / "crops")
+    ann = generate_crops(
+        crowns, sensor_glob=str(tmp_path / "*" / "*.h5"), savedir=savedir,
+        rgb_glob=None, convert_h5=False, as_numpy=True)
+    assert sorted(ann.tile_year.unique()) == ["2018", "2019"]
+    assert len(ann) == 4  # 2 crowns x 2 years
+    keep = np.ones(426, bool)
+    for lo, hi in [(419, 426), (283, 315), (192, 210)]:
+        keep[lo:hi] = False
+    got = np.load(os.path.join(savedir, "a_2019.npy"))
+    want = np.moveaxis(tiles["2019"][5:10, 3:8, keep], -1, 0)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_is_hdf5(tmp_path):
