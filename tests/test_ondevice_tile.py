@@ -139,3 +139,58 @@ def test_predict_species_ondevice_slab_too_small_raises(m, config, fixtures_dir)
         predict_api.predict_species_ondevice(
             crowns, tile_paths, m, config, slab_rows=20
         )
+
+
+def test_predict_species_ondevice_from_h5(m, config, fixtures_dir, tmp_path):
+    """The crop-free on-device path runs straight off a NEON .h5 tile
+    (H5Raster dispatch) and matches the GeoTIFF-sourced result."""
+    import h5py
+    import numpy as np
+
+    from deeptreeattention_tpu.data import neon_paths
+    from deeptreeattention_tpu.geo import raster
+
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    crowns = vector.GeoDataFrame(
+        pd.DataFrame({"individual": ["h1", "h2"]}),
+        geometry=[geometry.box(726010, 4699010, 726015, 4699015),
+                  geometry.box(726060, 4699070, 726066, 4699076)],
+        crs=32617,
+    )
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+
+    # re-wrap one year's tif cube as a NEON-shaped .h5 (28 bands is below
+    # every water-absorption window, so the no_water drop keeps all bands
+    # and H5Raster serves the identical cube)
+    year = sorted(tile_paths)[0]
+    with raster.open_raster(tile_paths[year]) as src:
+        cube = np.moveaxis(src.read(), 0, -1)  # [H, W, C]
+        t = src.transform
+    h5_path = str(tmp_path / "NEON_D01_HARV_DP3_726000_4699000_reflectance.h5")
+    with h5py.File(h5_path, "w") as f:
+        g = f.create_group("HARV").create_group("Reflectance")
+        d = g.create_dataset("Reflectance_Data", data=cube,
+                             chunks=(32, 32, cube.shape[2]), compression="gzip")
+        d.attrs["Data_Ignore_Value"] = -9999.0
+        d.attrs["Scale_Factor"] = 10000.0
+        meta = g.create_group("Metadata")
+        cs = meta.create_group("Coordinate_System")
+        cs.create_dataset("EPSG Code", data=np.bytes_("32617"))
+        cs.create_dataset("Map_Info", data=np.bytes_(
+            "UTM, 1, 1, {}, {}, {}, {}, 17".format(t.c, t.f, t.a, -t.e)))
+        meta.create_group("Spectral_Data").create_dataset(
+            "Wavelength", data=np.linspace(380, 2500, cube.shape[2]))
+
+    from_tif = predict_api.predict_species_ondevice(crowns, tile_paths, m, config)
+    h5_tiles = dict(tile_paths)
+    h5_tiles[year] = h5_path
+    from_h5 = predict_api.predict_species_ondevice(crowns, h5_tiles, m, config)
+    from_tif = from_tif.sort_values("individual").reset_index(drop=True)
+    from_h5 = from_h5.sort_values("individual").reset_index(drop=True)
+    assert list(from_tif.ensembleTaxonID) == list(from_h5.ensembleTaxonID)
+    np.testing.assert_allclose(
+        from_tif.ens_score.astype(float), from_h5.ens_score.astype(float), atol=1e-6
+    )
