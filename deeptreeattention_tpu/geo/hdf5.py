@@ -24,6 +24,7 @@ native library is present, inflation fans out over C++ threads
 (native geotiff.cc:dta_inflate_segments); the numpy/zlib path is the
 always-available fallback.
 """
+import mmap
 import struct
 import zlib
 
@@ -743,13 +744,20 @@ class File(Group):
             raise NotImplementedError("hdf5: in-house codec is read-only; "
                                       "use h5py to write")
         self.path = path
-        with open(path, "rb") as fh:
-            data = fh.read()
+        # mmap, not read(): a NEON reflectance tile is ~1 GB on disk and
+        # lazy hyperslab reads touch only intersecting chunks — let the OS
+        # page in just those byte ranges (and share cache across opens)
+        self._fh = open(path, "rb")
+        try:
+            data = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file or mmap-less fs
+            data = self._fh.read()
         # superblock may start at 0 or a power-of-2 offset >= 512
         base = 0
         while not data[base:base + 8] == SIGNATURE:
             base = 512 if base == 0 else base * 2
             if base >= len(data):
+                self._fh.close()
                 raise ValueError("not an HDF5 file: {}".format(path))
         self._r = _Reader(data)
         version = self._r.u8(base + 8)
@@ -775,7 +783,14 @@ class File(Group):
         return False
 
     def close(self):
-        pass
+        for obj in self._objects.values():
+            cache = getattr(obj, "_cache", None)
+            if cache:
+                cache.clear()
+        data = self._r.data
+        if isinstance(data, mmap.mmap):
+            data.close()
+        self._fh.close()
 
     # object cache ------------------------------------------------------------
     def _open_object(self, addr, name):
