@@ -240,3 +240,132 @@ def import_spectral_only(state_or_path):
     )
     p, bs = import_spectral_network(state)
     return {"params": p, "batch_stats": bs}
+
+
+# ---------------------------------------------------------------------------
+# learned_ensemble / MultiStage Lightning checkpoints
+# ---------------------------------------------------------------------------
+
+def _stack_trees(trees):
+    """Stack a list of identical-structure nested dicts leaf-wise on axis 0 —
+    the per-year torch submodules become our nn.vmap'd year-stacked params."""
+    out = {}
+    for k in trees[0]:
+        vals = [t[k] for t in trees]
+        if isinstance(vals[0], dict):
+            out[k] = _stack_trees(vals)
+        else:
+            out[k] = np.stack(vals, axis=0)
+    return out
+
+
+def _ensemble_years(state, prefix):
+    return sorted(
+        {
+            int(k[len(prefix + "year_models."):].split(".")[0])
+            for k in state
+            if k.startswith(prefix + "year_models.")
+        }
+    )
+
+
+def import_learned_ensemble(state_or_path, years=None, prefix=""):
+    """torch learned_ensemble state_dict (reference src/models/year.py:13-22:
+    one spectral_network per year under `year_models.{y}.`) -> variables for
+    models.year.LearnedEnsemble (single tree, params year-stacked on axis 0
+    for the nn.vmap forward)."""
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    found = _ensemble_years(state, prefix)
+    if not found:
+        raise KeyError("no '{}year_models.*' keys in state_dict".format(prefix))
+    if years is not None and len(found) != years:
+        raise ValueError(
+            "checkpoint has {} year models, expected {}".format(len(found), years)
+        )
+    per_year = [
+        import_spectral_network(state, prefix="{}year_models.{}.".format(prefix, y))
+        for y in found
+    ]
+    params = _stack_trees([p for p, _ in per_year])
+    stats = _stack_trees([s for _, s in per_year])
+    return {"params": {"year_models": params},
+            "batch_stats": {"year_models": stats}}
+
+
+def import_multi_stage(state_or_path):
+    """Reference MultiStage Lightning checkpoint -> per-level variables.
+
+    The reference registers one learned_ensemble per taxonomy level in an
+    nn.ModuleList (`models.{L}.`, src/models/multi_stage.py:41,62-66) and an
+    inverse-frequency loss-weight buffer per level (`loss_weight_{L}`,
+    src/models/multi_stage.py:76-79). Returns
+    `(variables, loss_weights, info)` where `variables[L]` loads straight
+    into our MultiStage (year-stacked LearnedEnsemble trees), and
+    `info = {"levels", "years", "num_classes"}` (classes read from each
+    level's classifier head).
+    """
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    levels = sorted(
+        {int(k.split(".")[1]) for k in state if k.startswith("models.")}
+    )
+    if not levels:
+        raise KeyError("no 'models.{level}.' keys — not a MultiStage checkpoint")
+    variables, loss_weights, num_classes = [], [], []
+    years = None
+    for lvl in levels:
+        prefix = "models.{}.".format(lvl)
+        found = _ensemble_years(state, prefix)
+        if years is None:
+            years = found
+        elif found != years:
+            raise ValueError(
+                "level {} has years {}, level {} has {}".format(
+                    lvl, found, levels[0], years
+                )
+            )
+        v = import_learned_ensemble(state, prefix=prefix)
+        variables.append(v)
+        head = v["params"]["year_models"]["classifier3"]["fc1"]["kernel"]
+        num_classes.append(int(head.shape[-1]))
+        lw = state.get("loss_weight_{}".format(lvl))
+        loss_weights.append(None if lw is None else np.asarray(lw, np.float32))
+    info = {"levels": len(levels), "years": len(years), "num_classes": num_classes}
+    return variables, loss_weights, info
+
+
+def load_multistage_weights(ms, state_or_path):
+    """Load a reference MultiStage Lightning checkpoint into an existing
+    deeptreeattention_tpu MultiStage (built from the same train/test frames,
+    as the reference rebuilds the module before `load_from_checkpoint`).
+    Replaces per-level variables + loss weights and re-initializes optimizer
+    state; shape-checks classes/years against the target."""
+    import jax
+    import jax.numpy as jnp
+
+    variables, loss_weights, info = import_multi_stage(state_or_path)
+    if info["levels"] != ms.levels:
+        raise ValueError(
+            "checkpoint has {} levels, model has {}".format(info["levels"], ms.levels)
+        )
+    if info["years"] != len(ms.years):
+        raise ValueError(
+            "checkpoint has {} years, model has {}".format(info["years"], len(ms.years))
+        )
+    for lvl in range(ms.levels):
+        if info["num_classes"][lvl] != ms.num_classes[lvl]:
+            raise ValueError(
+                "level {}: checkpoint classes {} != model classes {}".format(
+                    lvl, info["num_classes"][lvl], ms.num_classes[lvl]
+                )
+            )
+        ms.variables[lvl] = jax.tree_util.tree_map(jnp.asarray, variables[lvl])
+        if loss_weights[lvl] is not None:
+            ms.loss_weights[lvl] = jnp.asarray(loss_weights[lvl])
+        ms.opt_states[lvl] = ms.optimizers[lvl].init(ms.variables[lvl]["params"])
+    return ms
