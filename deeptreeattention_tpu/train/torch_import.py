@@ -155,20 +155,54 @@ def import_spatial_network(state, prefix=""):
     return p, bs
 
 
-def import_hang2020(state_or_path):
+def import_hang2020(state_or_path, prefix=""):
     """Full Hang2020 (both branches + alpha) -> flax variables dict."""
     state = (
         load_state_dict(state_or_path) if isinstance(state_or_path, str) else
         {k: np.asarray(v) for k, v in state_or_path.items()}
     )
-    sp_p, sp_bs = import_spectral_network(state, prefix="spectral_network.")
-    sa_p, sa_bs = import_spatial_network(state, prefix="spatial_network.")
+    sp_p, sp_bs = import_spectral_network(state, prefix=prefix + "spectral_network.")
+    sa_p, sa_bs = import_spatial_network(state, prefix=prefix + "spatial_network.")
     params = {
         "spectral_network": sp_p,
         "spatial_network": sa_p,
-        "alpha": np.float32(state["alpha"]),
+        "alpha": np.float32(state[prefix + "alpha"]),
     }
     batch_stats = {"spectral_network": sp_bs, "spatial_network": sa_bs}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_metadata_fusion(state_or_path):
+    """torch metadata_sensor_fusion state_dict (reference
+    src/models/metadata.py:26-44: site-embedding metadata MLP + Hang2020 under
+    `sensor_model.` + concat fc1) -> variables for
+    models.metadata.MetadataSensorFusion."""
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    meta_bn_p, meta_bn_s = _bn("metadata_model.batch_norm", state)
+    meta_p = {
+        "embedding": {"embedding": state["metadata_model.embedding.weight"]},
+        "batch_norm": meta_bn_p,
+        "mlp": {
+            "kernel": _linear(state["metadata_model.mlp.weight"]),
+            "bias": state["metadata_model.mlp.bias"],
+        },
+    }
+    sensor = import_hang2020(state, prefix="sensor_model.")
+    params = {
+        "metadata_model": meta_p,
+        "sensor_model": sensor["params"],
+        "fc1": {
+            "kernel": _linear(state["fc1.weight"]),
+            "bias": state["fc1.bias"],
+        },
+    }
+    batch_stats = {
+        "metadata_model": {"batch_norm": meta_bn_s},
+        "sensor_model": sensor["batch_stats"],
+    }
     return {"params": params, "batch_stats": batch_stats}
 
 

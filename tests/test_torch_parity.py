@@ -178,3 +178,58 @@ def test_hang2020_parity(x_np):
         jnp.asarray(np.moveaxis(x_np, 1, -1)), train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-3, rtol=1e-3)
+
+
+def test_metadata_fusion_parity(x_np):
+    """metadata_sensor_fusion import: reference src/models/metadata.py:26-44
+    (site embedding + eval-mode BN + MLP, Hang2020 sensor branch, concat fc1)."""
+    from deeptreeattention_tpu.models.metadata import MetadataSensorFusion
+
+    SITES = 4
+    rng = np.random.RandomState(2)
+    state = {}
+    state.update(make_spectral_state(rng, prefix="sensor_model.spectral_network."))
+    state.update(make_spatial_state(rng, prefix="sensor_model.spatial_network."))
+    state["sensor_model.alpha"] = torch.tensor(0.21)
+    state["metadata_model.embedding.weight"] = _rand(rng, SITES, 16)
+    state["metadata_model.batch_norm.weight"] = 1 + 0.1 * _rand(rng, 16)
+    state["metadata_model.batch_norm.bias"] = _rand(rng, 16)
+    state["metadata_model.batch_norm.running_mean"] = _rand(rng, 16)
+    state["metadata_model.batch_norm.running_var"] = (1 + 0.1 * _rand(rng, 16)).abs()
+    state["metadata_model.mlp.weight"] = _rand(rng, CLASSES, 16)
+    state["metadata_model.mlp.bias"] = _rand(rng, CLASSES)
+    state["fc1.weight"] = _rand(rng, CLASSES, 2 * CLASSES)
+    state["fc1.bias"] = _rand(rng, CLASSES)
+
+    sites = torch.tensor([0, 2, 3])
+    emb = F.embedding(sites, state["metadata_model.embedding.weight"])
+    meta = F.batch_norm(
+        emb,
+        state["metadata_model.batch_norm.running_mean"],
+        state["metadata_model.batch_norm.running_var"],
+        state["metadata_model.batch_norm.weight"],
+        state["metadata_model.batch_norm.bias"],
+        training=False, eps=1e-5,
+    )
+    meta = F.relu(F.linear(meta, state["metadata_model.mlp.weight"],
+                           state["metadata_model.mlp.bias"]))
+    spectral = torch_spectral_forward(
+        torch.tensor(x_np), state, prefix="sensor_model.spectral_network.")
+    spatial = torch_spatial_forward(
+        torch.tensor(x_np), state, prefix="sensor_model.spatial_network.")
+    w = torch.sigmoid(state["sensor_model.alpha"])
+    sensor = spectral[-1] * w + spatial[-1] * (1 - w)
+    joint = torch.cat([meta, sensor], dim=1)
+    expected = F.relu(F.linear(joint, state["fc1.weight"], state["fc1.bias"])).numpy()
+
+    variables = torch_import.import_metadata_fusion(
+        {k: v.numpy() for k, v in state.items()}
+    )
+    model = MetadataSensorFusion(bands=BANDS, sites=SITES, classes=CLASSES)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(np.moveaxis(x_np, 1, -1)),
+        jnp.asarray(sites.numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-3, rtol=1e-3)
