@@ -39,20 +39,26 @@ def main():
     BATCH = 4096
     ITERS = 8
 
+    from deeptreeattention_tpu.models.fused import hang2020_eval
+
     model = Hang2020(bands=BANDS, classes=CLASSES, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
-    raw = jnp.asarray(rng.randint(0, 10000, size=(BATCH, 11, 11, BANDS_RAW)), jnp.float32)
+    # int16 input: NEON reflectance's native dtype — halves the HBM read
+    # traffic of the preprocessing pass (docs/PERF.md round 2)
+    raw = jnp.asarray(rng.randint(0, 10000, size=(BATCH, 11, 11, BANDS_RAW)), jnp.int16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 11, 11, BANDS), jnp.float32))
 
     @jax.jit
     def bench_fn(variables, raw):
         def body(carry, _):
             # carry -> input dependency serializes the iterations
-            x = preprocess_batch(raw + carry)
-            out = model.apply(variables, x, train=False)
-            return jnp.mean(out) * 1e-9, None
+            x = preprocess_batch(raw + carry, out_dtype=jnp.bfloat16)
+            # production eval path (config fused_inference=True): BN-folded,
+            # stage-1-fused, group-conv Hang2020 (models/fused.py)
+            out = hang2020_eval(variables, x)
+            return (jnp.mean(out) * 1e-9).astype(jnp.int16), None
 
-        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        carry, _ = jax.lax.scan(body, jnp.int16(0), None, length=ITERS)
         return carry
 
     float(bench_fn(variables, raw))  # compile + first execution

@@ -1,0 +1,243 @@
+"""Fused inference forwards for the Hang2020 family (eval-only fast path).
+
+Measured on v5e (scripts/bench_conv_probe.py): a 3x3 conv 349->32 on 11x11
+runs at ~40 TFLOP/s while 349->64 runs at ~68 TFLOP/s — the MXU's 128-wide
+lane dimension is underfed by the reference architecture's 32-filter stages.
+These forwards keep the exact module math (reference src/models/Hang2020.py
+ladders) but restructure it for the MXU:
+
+  * BatchNorm folded into conv weights at call time (eval-mode BN is an
+    affine map per output channel: k' = k * g/sqrt(v+eps),
+    b' = (b - m) * g/sqrt(v+eps) + beta).
+  * Hang2020: both branches' stage-1 convs share the same input — run them
+    as ONE conv with concatenated output channels (N: 32 -> 64).
+  * Stages 2/3 of the two branches (different inputs, same shapes) run as a
+    grouped conv on the channel-concatenated tensor (groups=2, N doubled).
+  * LearnedEnsemble: the Y per-year SpectralNetworks run as groups=Y
+    convs (N: 32 -> Y*32 = 128 for 4 years — full lane width), with the
+    per-year attention/classifier Denses as one batched einsum each.
+
+Functions take the STANDARD variables trees produced by the flax modules
+(models.hang2020 / models.year) — no re-training or conversion; parity with
+`model.apply(train=False)` is pinned by tests/test_fused_eval.py.
+"""
+import jax
+import jax.numpy as jnp
+
+from deeptreeattention_tpu.models.hang2020 import (
+    SPATIAL_KERNELS,
+    SPATIAL_POOLS,
+    STAGE_FILTERS,
+)
+
+
+def _fold_bn(conv_p, bn_p, bn_s, eps=1e-5):
+    """Fold eval-mode BatchNorm into conv kernel+bias (float32 math)."""
+    g = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+    kernel = conv_p["kernel"] * g  # broadcast over trailing (out-channel) axis
+    bias = (conv_p.get("bias", 0.0) - bn_s["mean"]) * g + bn_p["bias"]
+    return kernel, bias
+
+
+def _conv(x, kernel, bias, groups=1, dtype=jnp.bfloat16):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return y + bias.astype(jnp.float32)
+
+
+def _maxpool(x, k):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, k, k, 1), "VALID"
+    )
+
+
+def _dense(x, p, dtype):
+    return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hang2020 (spectral + spatial fusion)
+# ---------------------------------------------------------------------------
+
+def hang2020_eval(variables, x, dtype=jnp.bfloat16):
+    """Math-identical eval forward of models.hang2020.Hang2020 with fused
+    stage-1 and grouped stage-2/3 convs. Returns the joint logits [B, C]."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    spec_p, spec_s = params["spectral_network"], stats["spectral_network"]
+    spat_p, spat_s = params["spatial_network"], stats["spatial_network"]
+
+    x = x.astype(dtype)
+    spec_scores = None
+    spat_scores = None
+
+    # stage 1: shared input -> one conv, concat output channels
+    k1s, b1s = _fold_bn(spec_p["conv1"]["conv"], spec_p["conv1"]["bn"],
+                        spec_s["conv1"]["bn"])
+    k1t, b1t = _fold_bn(spat_p["conv1"]["conv"], spat_p["conv1"]["bn"],
+                        spat_s["conv1"]["bn"])
+    y = _conv(x, jnp.concatenate([k1s, k1t], axis=-1),
+              jnp.concatenate([b1s, b1t]), dtype=dtype)
+    y = jax.nn.relu(y).astype(dtype)
+
+    f1 = STAGE_FILTERS[0]
+    joint = y  # [B, H, W, 2*f1] — spectral block then spatial block
+
+    for i, filters in enumerate(STAGE_FILTERS):
+        prev = STAGE_FILTERS[i - 1] if i else None
+        if i > 0:
+            # grouped conv: group 0 = spectral branch, group 1 = spatial
+            ks, bs = _fold_bn(spec_p["conv{}".format(i + 1)]["conv"],
+                              spec_p["conv{}".format(i + 1)]["bn"],
+                              spec_s["conv{}".format(i + 1)]["bn"])
+            kt, bt = _fold_bn(spat_p["conv{}".format(i + 1)]["conv"],
+                              spat_p["conv{}".format(i + 1)]["bn"],
+                              spat_s["conv{}".format(i + 1)]["bn"])
+            y = _conv(joint, jnp.concatenate([ks, kt], axis=-1),
+                      jnp.concatenate([bs, bt]), groups=2, dtype=dtype)
+            y = jax.nn.relu(y)
+            y = _maxpool(y, 2).astype(dtype)
+
+        spec_y = y[..., :filters]
+        spat_y = y[..., filters:]
+
+        # spectral attention (channel gate from global pool)
+        ap = spec_p["attention_{}".format(i + 1)]
+        pooled = jnp.mean(spec_y, axis=(1, 2))
+        a = jax.nn.relu(_dense(pooled, ap["attention_fc1"], dtype))
+        a = jax.nn.sigmoid(_dense(a, ap["attention_fc2"], dtype))
+        spec_gated = spec_y * a[:, None, None, :]
+        if i == len(STAGE_FILTERS) - 1:
+            spec_scores = _dense(pooled * a, spec_p["classifier{}".format(i + 1)]["fc1"], dtype)
+
+        # spatial attention (spatial gate from 1x1 channel pool)
+        ap = spat_p["attention_{}".format(i + 1)]
+        k = SPATIAL_KERNELS[filters]
+        p = SPATIAL_POOLS[filters]
+        cp = jax.nn.relu(_conv(spat_y, ap["channel_pool"]["kernel"],
+                               ap["channel_pool"]["bias"], dtype=dtype))
+        m = jax.nn.relu(_conv(cp, ap["attention_conv1"]["kernel"],
+                              ap["attention_conv1"]["bias"], dtype=dtype))
+        m = jax.nn.sigmoid(_conv(m, ap["attention_conv2"]["kernel"],
+                                 ap["attention_conv2"]["bias"], dtype=dtype))
+        spat_gated = spat_y * m
+        if i == len(STAGE_FILTERS) - 1:
+            cls = _maxpool(spat_gated, p) if p > 1 else spat_gated
+            cls = cls.reshape(cls.shape[0], -1)
+            spat_scores = _dense(cls, spat_p["classifier{}".format(i + 1)]["fc1"], dtype)
+
+        joint = jnp.concatenate([spec_gated, spat_gated], axis=-1).astype(dtype)
+
+    w = jax.nn.sigmoid(params["alpha"])
+    return (spec_scores.astype(jnp.float32) * w
+            + spat_scores.astype(jnp.float32) * (1.0 - w))
+
+
+# ---------------------------------------------------------------------------
+# LearnedEnsemble (Y per-year SpectralNetworks, masked year mean)
+# ---------------------------------------------------------------------------
+
+def _year_dense(x, p, dtype):
+    """x [B, Y, F] with year-stacked Dense params kernel [Y, F, G]."""
+    return (jnp.einsum("byf,yfg->byg", x.astype(dtype), p["kernel"].astype(dtype))
+            + p["bias"].astype(dtype))
+
+
+def learned_ensemble_eval(variables, images, mask_mode="batch",
+                          dtype=jnp.bfloat16):
+    """Math-identical eval forward of models.year.LearnedEnsemble with the Y
+    per-year spectral ladders run as groups=Y convs (N = Y*filters, full MXU
+    lane width at 4 years) and per-year Denses as batched einsums.
+
+    images: [B, Y, H, W, C] year-stacked (zero-filled missing years).
+    Returns logits [B, classes].
+    """
+    ym_p = variables["params"]["year_models"]
+    ym_s = variables["batch_stats"]["year_models"]
+    B, Y, H, W, C = images.shape
+
+    x = images.astype(dtype)
+
+    cur = None
+    pooled_gated = None
+    for i, filters in enumerate(STAGE_FILTERS):
+        conv = ym_p["conv{}".format(i + 1)]
+        bn_s = ym_s["conv{}".format(i + 1)]
+        # year-stacked fold: kernel [Y, 3, 3, Cin, F], bn tensors [Y, F]
+        g = conv["bn"]["scale"] / jnp.sqrt(bn_s["bn"]["var"] + 1e-5)
+        k = conv["conv"]["kernel"] * g[:, None, None, None, :]
+        b = (conv["conv"]["bias"] - bn_s["bn"]["mean"]) * g + conv["bn"]["bias"]
+        if i == 0:
+            # measured (scripts/bench_group_probe.py): at K = 9*349 a
+            # groups=Y conv lowers WORSE than Y dense convs — run the big-K
+            # stage per year and concat into the year-blocked channel layout
+            y_out = jnp.concatenate(
+                [_conv(x[:, y], k[y], b[y], dtype=dtype) for y in range(Y)],
+                axis=-1,
+            )
+        else:
+            # small-K stages: grouped conv measured ~2.6x faster than
+            # per-year (N = Y*filters fills the MXU lane width)
+            kg = jnp.concatenate([k[y] for y in range(Y)], axis=-1)
+            bg = b.reshape(Y * filters)
+            y_out = _conv(cur, kg, bg, groups=Y, dtype=dtype)
+        y_out = jax.nn.relu(y_out)
+        if i > 0:
+            y_out = _maxpool(y_out, 2)
+        y_out = y_out.astype(dtype)
+
+        # spectral attention per year: pool -> fc1 -> relu -> fc2 -> sigmoid
+        pooled = jnp.mean(y_out, axis=(1, 2)).reshape(B, Y, filters)
+        ap = ym_p["attention_{}".format(i + 1)]
+        a = jax.nn.relu(_year_dense(pooled, ap["attention_fc1"], dtype))
+        a = jax.nn.sigmoid(_year_dense(a, ap["attention_fc2"], dtype))
+        gate = a.reshape(B, 1, 1, Y * filters)
+        cur = (y_out * gate).astype(dtype)
+        if i == len(STAGE_FILTERS) - 1:
+            pooled_gated = pooled * a  # [B, Y, F]
+
+    cls = ym_p["classifier3"]["fc1"]
+    scores = _year_dense(pooled_gated, cls, dtype).astype(jnp.float32)  # [B, Y, cls]
+
+    # masked year mean (reference skips all-zero years, src/models/year.py:27-31)
+    if mask_mode == "batch":
+        valid = jnp.any(images != 0, axis=(0, 2, 3, 4))  # [Y]
+        mask = valid[None, :, None].astype(scores.dtype)
+    else:
+        valid = jnp.any(images != 0, axis=(2, 3, 4))  # [B, Y]
+        mask = valid[:, :, None].astype(scores.dtype)
+    mask = jnp.broadcast_to(mask, scores.shape)
+    total = jnp.sum(scores * mask, axis=1)
+    count = jnp.maximum(jnp.sum(mask, axis=1), 1.0)
+    return total / count
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def fused_apply(model):
+    """Eval-only apply_fn for `model` using its fused forward when the fused
+    form MEASURED faster, else the module's own apply. Drop-in for
+    steps.make_eval_step(model.apply) — enabled via
+    config["fused_inference"].
+
+    Measured on v5e at batch 4096 (scripts/bench_fused.py):
+      * Hang2020: fused 602k vs module 518k patches/s (+16%) -> fused.
+      * LearnedEnsemble: fused 140k vs module 165k crowns/s — nn.vmap's
+        batch-grouped conv lowering beats the per-year-concat stage-1 here,
+        so the module apply stays the production path;
+        `learned_ensemble_eval` remains available as the measured record.
+    """
+    from deeptreeattention_tpu.models.hang2020 import Hang2020
+
+    if isinstance(model, Hang2020):
+        def apply_fn(variables, images, train=False):
+            return hang2020_eval(variables, images, dtype=model.dtype)
+
+        return apply_fn
+    return model.apply

@@ -265,8 +265,17 @@ class MultiStage:
             self.schedulers.append(optim.ReduceLROnPlateau(lr))
             self.loss_weights.append(lw)
             self._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
-            self._eval_steps.append(steps.make_eval_step(model.apply))
+            self._eval_steps.append(steps.make_eval_step(self._eval_apply(model)))
             self._val_steps.append(steps.make_loss_eval_step(model.apply))
+
+    def _eval_apply(self, model):
+        """Inference forward: the MXU-fused eval path (models/fused.py) when
+        config["fused_inference"] is set, else the module apply."""
+        if self.config.get("fused_inference"):
+            from deeptreeattention_tpu.models import fused
+
+            return fused.fused_apply(model)
+        return model.apply
 
     @staticmethod
     def _load_backbone(path):
@@ -647,6 +656,6 @@ class MultiStage:
             obj.schedulers.append(sched)
             obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
             obj._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
-            obj._eval_steps.append(steps.make_eval_step(model.apply))
+            obj._eval_steps.append(steps.make_eval_step(obj._eval_apply(model)))
             obj._val_steps.append(steps.make_loss_eval_step(model.apply))
         return obj

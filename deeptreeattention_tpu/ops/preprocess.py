@@ -40,19 +40,26 @@ def clip_bands(image):
     return image
 
 
-def minmax_scale_pixels(image, eps=0.0):
+def minmax_scale_pixels(image, eps=0.0, out_dtype=jnp.float32):
     """Per-pixel min-max over the band axis; constant pixels map to 0.
 
-    image: [..., H, W, C] float array. Matches
+    image: [..., H, W, C] array. Matches
     sklearn.preprocessing.minmax_scale(X, axis=1) applied to the (pixels, C)
     matrix (reference src/utils.py:44-50): scale of a zero-range row is 1, so
     the row becomes x - min = 0.
+
+    The min/max reductions run in the INPUT dtype — for integer input (NEON
+    reflectance is int16 on disk) they are exact and the image is only
+    widened to float32 inside the fused normalize, halving the HBM read
+    traffic of the dominant input pass on TPU. `out_dtype=bfloat16` lets the
+    normalized batch feed a bf16 model without an intermediate f32 buffer.
     """
     lo = jnp.min(image, axis=-1, keepdims=True)
     hi = jnp.max(image, axis=-1, keepdims=True)
-    rng = hi - lo
+    rng = (hi - lo).astype(jnp.float32)
     rng = jnp.where(rng == 0, 1.0, rng + eps)
-    return (image - lo) / rng
+    out = (image.astype(jnp.float32) - lo.astype(jnp.float32)) / rng
+    return out.astype(out_dtype)
 
 
 def nearest_resize(image, size):
@@ -84,10 +91,18 @@ def random_flip(image, key):
     return image
 
 
-def preprocess_image(image, image_size=None, augment=False):
-    """Full chain on one channels-last image (jit-friendly at fixed shape)."""
-    image = clip_bands(jnp.asarray(image, jnp.float32))
-    image = minmax_scale_pixels(image)
+def preprocess_image(image, image_size=None, augment=False, out_dtype=jnp.float32):
+    """Full chain on one channels-last image (jit-friendly at fixed shape).
+
+    Integer input (e.g. int16 NEON reflectance) stays integer through the
+    band clip and min/max reductions and is widened only inside the fused
+    normalize — no separate float conversion pass.
+    """
+    image = jnp.asarray(image)
+    if not jnp.issubdtype(image.dtype, jnp.integer):
+        image = image.astype(jnp.float32)
+    image = clip_bands(image)
+    image = minmax_scale_pixels(image, out_dtype=out_dtype)
     if image_size is not None:
         image = nearest_resize(image, image_size)
     if augment:
@@ -100,9 +115,10 @@ def _preprocess_batch_noresize(batch):
     return minmax_scale_pixels(batch)
 
 
-def preprocess_batch(batch, image_size=None, augment=False):
+def preprocess_batch(batch, image_size=None, augment=False, out_dtype=jnp.float32):
     """Batched fused preprocessing: [N, H, W, C] -> [N, S, S, C'] on device."""
-    return preprocess_image(batch, image_size=image_size, augment=augment)
+    return preprocess_image(batch, image_size=image_size, augment=augment,
+                            out_dtype=out_dtype)
 
 
 # ---------------------------------------------------------------------------
