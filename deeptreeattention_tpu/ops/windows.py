@@ -36,10 +36,14 @@ def extract_windows(tile, anchors, size=11):
 
 
 def preprocess_windows(windows, clip=10):
-    """Band-clip + per-pixel min-max on gathered windows (fused under jit)."""
+    """Band-clip + per-pixel min-max on gathered windows (fused under jit).
+
+    Integer windows (int16 NEON tiles stream to device in their file dtype)
+    stay integer through the min/max reductions — see
+    ops.preprocess.minmax_scale_pixels."""
     if windows.shape[-1] > 3 and clip:
         windows = windows[..., clip:-clip]
-    return minmax_scale_pixels(windows.astype(jnp.float32))
+    return minmax_scale_pixels(windows)
 
 
 def crown_resize_windows(tile, bounds_px, size=11):

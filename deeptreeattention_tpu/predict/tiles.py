@@ -175,9 +175,10 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
         with raster.open_raster(path) as src:
             arr = src.read()  # [C, H, W]
             t = src.transform
-        host_tiles[year] = np.ascontiguousarray(
-            np.moveaxis(arr, 0, -1), dtype=np.float32
-        )
+        # keep the file dtype: NEON reflectance is int16 — half the host RAM
+        # and half the host->device transfer of a float32 tile; the window
+        # min-max runs exactly on integer input (ops.preprocess)
+        host_tiles[year] = np.ascontiguousarray(np.moveaxis(arr, 0, -1))
         rect = []
         for g in crowns.geometry:
             left, bottom, right, top = g.bounds

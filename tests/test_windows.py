@@ -68,3 +68,23 @@ def test_fused_tile_predictor():
     out = np.asarray(predictor(variables, tile, anchors, ids, mask, 2))
     assert out.shape == (2, classes)
     np.testing.assert_allclose(out.sum(axis=1), [1.0, 1.0], atol=1e-5)
+
+
+def test_int16_tile_parity_with_float32():
+    """Tiles stream to device in their file dtype (int16 for NEON); windows,
+    min-max, and crown resize give bit-identical results to a float32 tile."""
+    rng = np.random.RandomState(7)
+    tile_i = rng.randint(-2000, 12000, (40, 40, 28)).astype(np.int16)
+    tile_f = tile_i.astype(np.float32)
+
+    anchors = np.array([[0, 0], [13, 21], [29, 29]], np.int32)
+    wi = W.preprocess_windows(W.extract_windows(jnp.asarray(tile_i), anchors))
+    wf = W.preprocess_windows(W.extract_windows(jnp.asarray(tile_f), anchors))
+    assert wi.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(wi), np.asarray(wf))
+
+    rect = np.array([[2, 3, 9, 7], [20, 25, 14, 14]], np.int32)
+    ci = W.crown_resize_windows(jnp.asarray(tile_i), rect)
+    cf = W.crown_resize_windows(jnp.asarray(tile_f), rect)
+    assert ci.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(ci).astype(np.float32), np.asarray(cf))
