@@ -59,6 +59,32 @@ def _dense(x, p, dtype):
     return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
 
 
+def _conv1_as_band_matrix(kernel, H, W):
+    """k x k SAME conv on a 1-channel [H, W] map as a banded [H*W, H*W]
+    matrix (built from the kernel params at trace time; indices are static).
+
+    A C_out=1 conv leaves the MXU's 128-wide lane dimension 99% idle; as a
+    flattened-spatial matmul the same op runs with N = H*W (121 at 11x11)."""
+    import numpy as np
+
+    k = kernel.shape[0]
+    c = k // 2
+    qs, ps, taps = [], [], []
+    for di in range(k):
+        for dj in range(k):
+            for i in range(H):
+                for j in range(W):
+                    qi, qj = i + di - c, j + dj - c
+                    if 0 <= qi < H and 0 <= qj < W:
+                        ps.append(i * W + j)
+                        qs.append(qi * W + qj)
+                        taps.append(di * k + dj)
+    flat = kernel.reshape(-1)
+    return jnp.zeros((H * W, H * W), kernel.dtype).at[
+        np.asarray(qs), np.asarray(ps)
+    ].set(flat[np.asarray(taps)])
+
+
 # ---------------------------------------------------------------------------
 # Hang2020 (spectral + spatial fusion)
 # ---------------------------------------------------------------------------
@@ -114,17 +140,23 @@ def hang2020_eval(variables, x, dtype=jnp.bfloat16):
         if i == len(STAGE_FILTERS) - 1:
             spec_scores = _dense(pooled * a, spec_p["classifier{}".format(i + 1)]["fc1"], dtype)
 
-        # spatial attention (spatial gate from 1x1 channel pool)
+        # spatial attention (spatial gate from 1x1 channel pool) — the three
+        # C_out=1 convs run as flattened-spatial matmuls (N=H*W, not N=1)
         ap = spat_p["attention_{}".format(i + 1)]
-        k = SPATIAL_KERNELS[filters]
         p = SPATIAL_POOLS[filters]
-        cp = jax.nn.relu(_conv(spat_y, ap["channel_pool"]["kernel"],
-                               ap["channel_pool"]["bias"], dtype=dtype))
-        m = jax.nn.relu(_conv(cp, ap["attention_conv1"]["kernel"],
-                              ap["attention_conv1"]["bias"], dtype=dtype))
-        m = jax.nn.sigmoid(_conv(m, ap["attention_conv2"]["kernel"],
-                                 ap["attention_conv2"]["bias"], dtype=dtype))
-        spat_gated = spat_y * m
+        Hc, Wc = spat_y.shape[1], spat_y.shape[2]
+        cp = jax.nn.relu(
+            spat_y.reshape(-1, Hc * Wc, filters).astype(dtype)
+            @ ap["channel_pool"]["kernel"][0, 0].astype(dtype)
+            + ap["channel_pool"]["bias"].astype(dtype)
+        )[..., 0]  # [B, HW]
+        m1 = _conv1_as_band_matrix(ap["attention_conv1"]["kernel"], Hc, Wc)
+        m2 = _conv1_as_band_matrix(ap["attention_conv2"]["kernel"], Hc, Wc)
+        m = jax.nn.relu(cp @ m1.astype(dtype)
+                        + ap["attention_conv1"]["bias"].astype(dtype))
+        m = jax.nn.sigmoid(m @ m2.astype(dtype)
+                           + ap["attention_conv2"]["bias"].astype(dtype))
+        spat_gated = spat_y * m.reshape(-1, Hc, Wc, 1)
         if i == len(STAGE_FILTERS) - 1:
             cls = _maxpool(spat_gated, p) if p > 1 else spat_gated
             cls = cls.reshape(cls.shape[0], -1)
@@ -135,6 +167,26 @@ def hang2020_eval(variables, x, dtype=jnp.bfloat16):
     w = jax.nn.sigmoid(params["alpha"])
     return (spec_scores.astype(jnp.float32) * w
             + spat_scores.astype(jnp.float32) * (1.0 - w))
+
+
+def metadata_fusion_eval(variables, images, site_ids, dtype=jnp.bfloat16):
+    """Math-identical eval forward of models.metadata.MetadataSensorFusion:
+    site embedding + eval BN + MLP, fused-Hang2020 sensor branch, concat fc1."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    emb = p["metadata_model"]["embedding"]["embedding"][site_ids]
+    bn_p = p["metadata_model"]["batch_norm"]
+    bn_s = s["metadata_model"]["batch_norm"]
+    meta = (emb - bn_s["mean"]) / jnp.sqrt(bn_s["var"] + 1e-5) * bn_p["scale"] + bn_p["bias"]
+    meta = jax.nn.relu(_dense(meta, p["metadata_model"]["mlp"], jnp.float32))
+
+    sensor = hang2020_eval(
+        {"params": p["sensor_model"], "batch_stats": s["sensor_model"]},
+        images, dtype=dtype,
+    )
+    joint = jnp.concatenate([meta.astype(jnp.float32), sensor], axis=1)
+    return jax.nn.relu(_dense(joint, p["fc1"], jnp.float32))
 
 
 # ---------------------------------------------------------------------------

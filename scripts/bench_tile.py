@@ -32,7 +32,8 @@ def main():
     LEVELS = 5
 
     rng = np.random.RandomState(0)
-    tile = jnp.asarray(rng.randint(0, 10000, (SLAB, SLAB, BANDS_RAW)), jnp.float32)
+    # int16: the production tile path streams tiles in their file dtype
+    tile = jnp.asarray(rng.randint(0, 10000, (SLAB, SLAB, BANDS_RAW)), jnp.int16)
     rect = np.stack(
         [
             rng.randint(0, SLAB - 12, N_CROWNS),

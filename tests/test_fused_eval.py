@@ -87,6 +87,27 @@ def test_multistage_fused_predict_matches_unfused(config, dm):
             np.testing.assert_allclose(p1, p2, atol=1e-5, rtol=1e-5)
 
 
+def test_metadata_fusion_fused_parity():
+    from deeptreeattention_tpu.models.metadata import MetadataSensorFusion
+
+    model = MetadataSensorFusion(bands=BANDS, sites=4, classes=CLASSES,
+                                 dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(8).rand(B, 11, 11, BANDS).astype(np.float32))
+    sites = jnp.asarray([0, 3, 1, 2])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(9), "dropout": jax.random.PRNGKey(10)},
+        x, sites, train=False,
+    )
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.05 * np.random.RandomState(11).standard_normal(v.shape).astype(v.dtype)
+        if v.ndim else v,
+        variables,
+    )
+    expected = model.apply(variables, x, sites, train=False)
+    got = fused.metadata_fusion_eval(variables, x, sites, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5)
+
+
 def test_learned_ensemble_fused_single_year():
     model = LearnedEnsemble(years=1, classes=CLASSES, bands=BANDS, dtype=jnp.float32)
     images = jnp.asarray(
