@@ -222,6 +222,55 @@ class AliveDead:
         return out
 
     # -- inference ---------------------------------------------------------
+    def predict_crowns_ondevice(self, crowns, batch_size=None,
+                                use_batch_stats=True, buffer=1.0):
+        """Tile-resident alive/dead scoring (the TPU redesign of the
+        reference's per-crown host window reads, src/predict.py:153-168 +
+        src/models/dead.py:153-182): each RGB tile uploads ONCE (uint8 — 4x
+        smaller than float32), and window gather + ImageNet normalize run on
+        device fused with the ResNet forward.
+
+        Bit-equal to `UTMDataset` + `predict_dataset` for a single-tile crown
+        set: rectangles come from the same Window.round() math, out-of-tile
+        pixels zero-fill like boundless reads, and batches are partitioned
+        identically so the train-mode-BN scoring quirk sees the same batch
+        statistics. Returns [N, 2] probabilities in crown order.
+        """
+        from deeptreeattention_tpu.geo.affine import window_from_bounds
+        from deeptreeattention_tpu.ops.windows import crown_resize_windows
+
+        batch_size = batch_size or self.config["dead"]["batch_size"]
+        crowns = crowns.reset_index(drop=True)
+        probs = np.zeros((len(crowns), 2), np.float32)
+
+        @jax.jit
+        def batch_windows(tile, rect):
+            win = crown_resize_windows(tile, rect, size=224, boundless=True)
+            x = win.astype(jnp.float32) / 255.0
+            return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+        for path, group in crowns.groupby("RGB_tile", sort=False):
+            with raster.open_raster(path) as src:
+                arr = src.read()
+                t = src.transform
+            tile = jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)))
+            rects = []
+            for g in group.geometry:
+                left, bottom, right, top = g.bounds
+                win = window_from_bounds(
+                    left - buffer, bottom - buffer,
+                    right + buffer, top + buffer, t,
+                ).round()
+                rects.append((win.row_off, win.col_off, win.height, win.width))
+            rects = np.asarray(rects, np.int32)
+            idx = group.index.values
+            for s in range(0, len(idx), batch_size):
+                x = batch_windows(tile, rects[s:s + batch_size])
+                probs[idx[s:s + batch_size]] = np.asarray(
+                    self.predict_batch(x, use_batch_stats=use_batch_stats)
+                )
+        return probs
+
     def predict_batch(self, xs, use_batch_stats=False):
         step = self._eval_step_batch_stats if use_batch_stats else self._eval_step
         probs = step(

@@ -46,13 +46,15 @@ def preprocess_windows(windows, clip=10):
     return minmax_scale_pixels(windows)
 
 
-def crown_resize_windows(tile, bounds_px, size=11):
+def crown_resize_windows(tile, bounds_px, size=11, boundless=False):
     """Per-crown crop + NEAREST resize as one device gather.
 
     tile: [H, W, C]; bounds_px: [N, 4] int32 (row0, col0, height, width) pixel
     rectangles. Returns [N, size, size, C] — bit-equal to cropping each
     rectangle on host and NEAREST-resizing (ops.preprocess.nearest_resize /
-    reference load_image), with source indices clamped to the tile.
+    reference load_image). Out-of-tile source indices are clamped to the
+    edge, or zero-filled with boundless=True (rasterio's boundless-read
+    semantics, used by the alive/dead window path).
     """
     h, w, _ = tile.shape
     bounds_px = jnp.asarray(bounds_px, jnp.int32)
@@ -62,13 +64,19 @@ def crown_resize_windows(tile, bounds_px, size=11):
     grid = jnp.arange(size)
     rows = r0[:, None] + (grid[None, :] * hh[:, None]) // size  # [N, size]
     cols = c0[:, None] + (grid[None, :] * ww[:, None]) // size
-    rows = jnp.clip(rows, 0, h - 1)
-    cols = jnp.clip(cols, 0, w - 1)
+    rows_c = jnp.clip(rows, 0, h - 1)
+    cols_c = jnp.clip(cols, 0, w - 1)
 
     def one(rr, cc):
         return tile[rr[:, None], cc[None, :], :]
 
-    return jax.vmap(one)(rows, cols)
+    out = jax.vmap(one)(rows_c, cols_c)
+    if boundless:
+        rv = (rows >= 0) & (rows < h)
+        cv = (cols >= 0) & (cols < w)
+        valid = rv[:, :, None] & cv[:, None, :]  # [N, size, size]
+        out = jnp.where(valid[..., None], out, jnp.zeros((), out.dtype))
+    return out
 
 
 def crown_pixel_anchors(bounds_list, transform, size=11, budget=None):

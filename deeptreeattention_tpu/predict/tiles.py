@@ -89,8 +89,15 @@ def predict_dead(crowns, dead_model_path=None, config=None, dead_model=None):
     running) statistics at prediction time (reference src/predict.py:156)."""
     if dead_model is None:
         dead_model = dead_mod.AliveDead.load_from_checkpoint(dead_model_path, config=config)
-    ds = dead_mod.UTMDataset(crowns=crowns, config=config)
-    probs = dead_model.predict_dataset(ds, batch_size=config["dead"]["batch_size"])
+    if config.get("ondevice_dead"):
+        # tile-resident scoring: one uint8 tile upload, windows gathered on
+        # device (bit-equal to the UTMDataset path; models/dead.py)
+        probs = dead_model.predict_crowns_ondevice(
+            crowns, batch_size=config["dead"]["batch_size"]
+        )
+    else:
+        ds = dead_mod.UTMDataset(crowns=crowns, config=config)
+        probs = dead_model.predict_dataset(ds, batch_size=config["dead"]["batch_size"])
     return np.argmax(probs, 1), np.max(probs, 1)
 
 

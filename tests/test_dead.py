@@ -44,6 +44,27 @@ def test_utm_dataset_and_predict(model, config, fixtures_dir):
     np.testing.assert_allclose(probs.sum(axis=1), np.ones(4), atol=1e-5)
 
 
+def test_ondevice_dead_matches_utm_dataset(model, config, fixtures_dir):
+    """predict_crowns_ondevice (tile uploaded once, windows gathered on
+    device) is bit-equal to the UTMDataset host-window path, including the
+    train-mode-BN batch-statistics quirk."""
+    import glob
+
+    crowns = vector.read_file(os.path.join(fixtures_dir, "artifact", "crowns.shp"))
+    crowns = crowns.head(5)
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+
+    ds = dead.UTMDataset(crowns=crowns, config=config)
+    host = model.predict_dataset(ds, batch_size=2)
+    device = model.predict_crowns_ondevice(crowns, batch_size=2)
+    np.testing.assert_allclose(device, host, atol=1e-6)
+
+    # and with running stats (use_batch_stats=False) too
+    host2 = model.predict_dataset(ds, batch_size=2, use_batch_stats=False)
+    device2 = model.predict_crowns_ondevice(crowns, batch_size=2, use_batch_stats=False)
+    np.testing.assert_allclose(device2, host2, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(model, config, tmp_path):
     path = str(tmp_path / "dead_ckpt")
     model.save_checkpoint(path)
