@@ -264,3 +264,56 @@ def test_is_hdf5(tmp_path):
 def test_readonly_guard(tmp_path):
     with pytest.raises(NotImplementedError):
         hdf5.File(str(tmp_path / "w.h5"), mode="w")
+
+
+# ---------------------------------------------------------------------------
+# robustness: corrupt/truncated files fail loudly, not wrongly
+# ---------------------------------------------------------------------------
+
+def test_not_hdf5_rejected(tmp_path):
+    p = tmp_path / "junk.h5"
+    p.write_bytes(b"definitely not an hdf5 file" * 10)
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        hdf5.File(str(p))
+
+
+def test_empty_file_rejected(tmp_path):
+    p = tmp_path / "empty.h5"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError):
+        hdf5.File(str(p))
+
+
+def test_truncated_file_fails_loudly(tmp_path):
+    import h5py
+
+    p = tmp_path / "t.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", data=np.arange(100000, dtype=np.int32),
+                         chunks=(1024,), compression="gzip")
+    raw = p.read_bytes()
+    p.write_bytes(raw[: len(raw) // 3])
+    try:
+        f = hdf5.File(str(p))
+        with pytest.raises(Exception):
+            np.asarray(f["d"][:])
+    except Exception:
+        pass  # failing at open time is equally acceptable
+
+
+def test_corrupt_deflate_chunk_fails_loudly(tmp_path):
+    import h5py
+
+    p = tmp_path / "c.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", data=np.arange(4096, dtype=np.float32),
+                         chunks=(512,), compression="gzip")
+    raw = bytearray(p.read_bytes())
+    # smash bytes near the end (inside chunk data, away from the metadata
+    # at the front)
+    for i in range(len(raw) - 200, len(raw) - 100):
+        raw[i] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    f = hdf5.File(str(p))
+    with pytest.raises(Exception):
+        np.asarray(f["d"][:])
