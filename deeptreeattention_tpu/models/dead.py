@@ -36,6 +36,40 @@ def rgb_transform(image, size=224):
     return x
 
 
+@jax.jit
+def _dead_windows(tile, rect):
+    """Crown windows gathered from a device-resident RGB tile, boundless
+    zero-fill + ImageNet normalize (module-level jit: compiled once per
+    shape for the whole landscape sweep)."""
+    from deeptreeattention_tpu.ops.windows import crown_resize_windows
+
+    win = crown_resize_windows(tile, rect, size=224, boundless=True)
+    x = win.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class _TileCache:
+    """Device-resident RGB tiles, LRU-capped (a 1 km tile is ~300 MB)."""
+
+    def __init__(self, max_tiles=2):
+        import collections
+
+        self._c = collections.OrderedDict()
+        self.max = max_tiles
+
+    def get(self, path):
+        if path in self._c:
+            self._c.move_to_end(path)
+            return self._c[path]
+        if len(self._c) >= self.max:
+            self._c.popitem(last=False)
+        with raster.open_raster(path) as src:
+            arr = src.read()
+        tile = jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)))
+        self._c[path] = tile
+        return tile
+
+
 class FolderDataset:
     """ImageFolder equivalent: class-per-subdirectory of PNG/JPG crops."""
 
@@ -230,45 +264,70 @@ class AliveDead:
         smaller than float32), and window gather + ImageNet normalize run on
         device fused with the ResNet forward.
 
-        Bit-equal to `UTMDataset` + `predict_dataset` for a single-tile crown
-        set: rectangles come from the same Window.round() math, out-of-tile
-        pixels zero-fill like boundless reads, and batches are partitioned
-        identically so the train-mode-BN scoring quirk sees the same batch
-        statistics. Returns [N, 2] probabilities in crown order.
+        Bit-equal to `UTMDataset` + `predict_dataset`: rectangles come from
+        the same Window.round() math, out-of-tile pixels zero-fill like
+        boundless reads, and batches are partitioned in crown order (even
+        across tile boundaries) so the train-mode-BN scoring quirk sees the
+        same batch statistics. Returns [N, 2] probabilities in crown order.
         """
         from deeptreeattention_tpu.geo.affine import window_from_bounds
-        from deeptreeattention_tpu.ops.windows import crown_resize_windows
 
         batch_size = batch_size or self.config["dead"]["batch_size"]
         crowns = crowns.reset_index(drop=True)
-        probs = np.zeros((len(crowns), 2), np.float32)
-
-        @jax.jit
-        def batch_windows(tile, rect):
-            win = crown_resize_windows(tile, rect, size=224, boundless=True)
-            x = win.astype(jnp.float32) / 255.0
-            return (x - IMAGENET_MEAN) / IMAGENET_STD
-
-        for path, group in crowns.groupby("RGB_tile", sort=False):
-            with raster.open_raster(path) as src:
-                arr = src.read()
-                t = src.transform
-            tile = jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)))
-            rects = []
-            for g in group.geometry:
-                left, bottom, right, top = g.bounds
-                win = window_from_bounds(
-                    left - buffer, bottom - buffer,
-                    right + buffer, top + buffer, t,
-                ).round()
-                rects.append((win.row_off, win.col_off, win.height, win.width))
-            rects = np.asarray(rects, np.int32)
-            idx = group.index.values
-            for s in range(0, len(idx), batch_size):
-                x = batch_windows(tile, rects[s:s + batch_size])
-                probs[idx[s:s + batch_size]] = np.asarray(
-                    self.predict_batch(x, use_batch_stats=use_batch_stats)
+        paths = crowns["RGB_tile"]
+        if paths.isna().any():
+            raise ValueError(
+                "predict_crowns_ondevice: {} crowns have no RGB_tile".format(
+                    int(paths.isna().sum())
                 )
+            )
+        n = len(crowns)
+        probs = np.zeros((n, 2), np.float32)
+
+        # per-crown pixel rects in crown order
+        rects = np.zeros((n, 4), np.int32)
+        transforms = {}
+        tiles = _TileCache(max_tiles=2)
+        for i in range(n):
+            path = paths.iloc[i]
+            if path not in transforms:
+                with raster.open_raster(path) as src:
+                    transforms[path] = src.transform
+            left, bottom, right, top = crowns.geometry.iloc[i].bounds
+            win = window_from_bounds(
+                left - buffer, bottom - buffer,
+                right + buffer, top + buffer, transforms[path],
+            ).round()
+            rects[i] = (win.row_off, win.col_off, win.height, win.width)
+
+        def gather(path, rect_chunk):
+            # pad the rect list to batch_size so _dead_windows compiles for
+            # ONE shape across the whole sweep; the slice drops padding
+            k = len(rect_chunk)
+            if k < batch_size:
+                pad = np.repeat(rect_chunk[:1], batch_size - k, axis=0)
+                rect_chunk = np.concatenate([rect_chunk, pad])
+            return _dead_windows(tiles.get(path), rect_chunk)[:k]
+
+        # batches follow crown order exactly (matching predict_dataset's
+        # partitioning, so batch-BN statistics agree even across tiles)
+        for s in range(0, n, batch_size):
+            e = min(s + batch_size, n)
+            batch_paths = paths.iloc[s:e].values
+            uniq = list(dict.fromkeys(batch_paths))
+            if len(uniq) == 1:
+                x = gather(uniq[0], rects[s:e])
+            else:
+                parts, order = [], []
+                for path in uniq:
+                    sel = np.where(batch_paths == path)[0]
+                    parts.append(gather(path, rects[s + sel]))
+                    order.append(sel)
+                inv = np.argsort(np.concatenate(order))
+                x = jnp.concatenate(parts)[jnp.asarray(inv)]
+            probs[s:e] = np.asarray(
+                self.predict_batch(x, use_batch_stats=use_batch_stats)
+            )
         return probs
 
     def predict_batch(self, xs, use_batch_stats=False):

@@ -24,11 +24,7 @@ Functions take the STANDARD variables trees produced by the flax modules
 import jax
 import jax.numpy as jnp
 
-from deeptreeattention_tpu.models.hang2020 import (
-    SPATIAL_KERNELS,
-    SPATIAL_POOLS,
-    STAGE_FILTERS,
-)
+from deeptreeattention_tpu.models.hang2020 import SPATIAL_POOLS, STAGE_FILTERS
 
 
 def _fold_bn(conv_p, bn_p, bn_s, eps=1e-5):
@@ -110,11 +106,9 @@ def hang2020_eval(variables, x, dtype=jnp.bfloat16):
               jnp.concatenate([b1s, b1t]), dtype=dtype)
     y = jax.nn.relu(y).astype(dtype)
 
-    f1 = STAGE_FILTERS[0]
-    joint = y  # [B, H, W, 2*f1] — spectral block then spatial block
+    joint = y  # [B, H, W, 2*filters] — spectral block then spatial block
 
     for i, filters in enumerate(STAGE_FILTERS):
-        prev = STAGE_FILTERS[i - 1] if i else None
         if i > 0:
             # grouped conv: group 0 = spectral branch, group 1 = spatial
             ks, bs = _fold_bn(spec_p["conv{}".format(i + 1)]["conv"],
@@ -286,10 +280,25 @@ def fused_apply(model):
         `learned_ensemble_eval` remains available as the measured record.
     """
     from deeptreeattention_tpu.models.hang2020 import Hang2020
+    from deeptreeattention_tpu.models.metadata import MetadataSensorFusion
 
     if isinstance(model, Hang2020):
         def apply_fn(variables, images, train=False):
             return hang2020_eval(variables, images, dtype=model.dtype)
 
         return apply_fn
+    if isinstance(model, MetadataSensorFusion):
+        def apply_fn(variables, images, site_ids, train=False):
+            return metadata_fusion_eval(variables, images, site_ids, dtype=model.dtype)
+
+        return apply_fn
+    return model.apply
+
+
+def eval_apply(model, config):
+    """The single dispatch point for config["fused_inference"]: the fused
+    eval forward when enabled (and measured faster for this model type),
+    else the module apply."""
+    if config and config.get("fused_inference"):
+        return fused_apply(model)
     return model.apply

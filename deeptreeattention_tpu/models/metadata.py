@@ -103,24 +103,16 @@ class MetadataModel(treemodel.TreeModel):
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), stats, opt_state, loss
 
-        use_fused = bool(self.config.get("fused_inference")) and isinstance(
-            model, MetadataSensorFusion
-        )
+        from deeptreeattention_tpu.models import fused
+
+        eval_apply = fused.eval_apply(model, self.config)
 
         @jax.jit
         def eval_step(params, batch_stats, images, sites):
-            if use_fused:
-                from deeptreeattention_tpu.models import fused
-
-                logits = fused.metadata_fusion_eval(
-                    {"params": params, "batch_stats": batch_stats},
-                    images, sites, dtype=model.dtype,
-                )
-            else:
-                logits = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, images, sites,
-                    train=False,
-                )
+            logits = eval_apply(
+                {"params": params, "batch_stats": batch_stats}, images, sites,
+                train=False,
+            )
             return jax.nn.softmax(logits, axis=-1)
 
         self._fusion_train_step = train_step

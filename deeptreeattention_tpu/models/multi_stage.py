@@ -271,11 +271,9 @@ class MultiStage:
     def _eval_apply(self, model):
         """Inference forward: the MXU-fused eval path (models/fused.py) when
         config["fused_inference"] is set, else the module apply."""
-        if self.config.get("fused_inference"):
-            from deeptreeattention_tpu.models import fused
+        from deeptreeattention_tpu.models import fused
 
-            return fused.fused_apply(model)
-        return model.apply
+        return fused.eval_apply(model, self.config)
 
     @staticmethod
     def _load_backbone(path):
@@ -528,7 +526,6 @@ class MultiStage:
         x ~20 model replicates over ~10^5 crowns, where a per-row Python loop
         is the same host bottleneck gather_predictions had."""
         results = results.copy()
-        n = len(results)
         is_pine = (results["pred_taxa_top1_level_0"] == PINE_GATE).values
         is_broad = (results["pred_taxa_top1_level_1"] == "BROADLEAF").values
         is_oak = (results["pred_taxa_top1_level_2"] == "OAK").values
@@ -552,7 +549,6 @@ class MultiStage:
         results["ens_score"] = scores
         # dict lookup keeps the historical None (not NaN) for unknown taxa
         results["ens_label"] = [self.species_label_dict.get(t) for t in taxa]
-        assert len(results) == n
         return results
 
     def evaluation_scores(self, ensemble_df, experiment=None):

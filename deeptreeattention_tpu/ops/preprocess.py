@@ -56,7 +56,9 @@ def minmax_scale_pixels(image, eps=0.0, out_dtype=jnp.float32):
     """
     lo = jnp.min(image, axis=-1, keepdims=True)
     hi = jnp.max(image, axis=-1, keepdims=True)
-    rng = (hi - lo).astype(jnp.float32)
+    # subtract AFTER widening: an int16 pixel spanning e.g. -32000..+10000
+    # would wrap if hi-lo were computed in the input dtype
+    rng = hi.astype(jnp.float32) - lo.astype(jnp.float32)
     rng = jnp.where(rng == 0, 1.0, rng + eps)
     out = (image.astype(jnp.float32) - lo.astype(jnp.float32)) / rng
     return out.astype(out_dtype)

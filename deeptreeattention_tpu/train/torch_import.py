@@ -378,7 +378,14 @@ def load_multistage_weights(ms, state_or_path):
     deeptreeattention_tpu MultiStage (built from the same train/test frames,
     as the reference rebuilds the module before `load_from_checkpoint`).
     Replaces per-level variables + loss weights and re-initializes optimizer
-    state; shape-checks classes/years against the target."""
+    state; shape-checks classes/years against the target.
+
+    Year-order contract: the checkpoint stores year models by POSITION
+    (`year_models.{0..Y-1}`) with no year identity — position y is year
+    `train_df.tile_year.unique()[y]` of the frames the reference was trained
+    with (reference src/models/multi_stage.py:40). Build `ms` from frames
+    whose tile_year appearance order matches, or the year slots will be
+    silently permuted; only the COUNT is checkable here."""
     import jax
     import jax.numpy as jnp
 

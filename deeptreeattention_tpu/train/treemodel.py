@@ -52,14 +52,10 @@ class TreeModel:
             loss_weight = np.ones(classes, np.float32)
         self.loss_weight = jnp.asarray(loss_weight, jnp.float32)
 
-        self._train_step = steps.make_train_step(model.apply, self.optimizer, donate=True)
-        if cfg.get("fused_inference"):
-            from deeptreeattention_tpu.models import fused
+        from deeptreeattention_tpu.models import fused
 
-            eval_apply = fused.fused_apply(model)
-        else:
-            eval_apply = model.apply
-        self._eval_step = steps.make_eval_step(eval_apply)
+        self._train_step = steps.make_train_step(model.apply, self.optimizer, donate=True)
+        self._eval_step = steps.make_eval_step(fused.eval_apply(model, cfg))
         self._val_step = steps.make_loss_eval_step(model.apply)
         self.metrics = M.MetricCollection(classes, top_k=cfg.get("top_k"))
 

@@ -65,6 +65,33 @@ def test_ondevice_dead_matches_utm_dataset(model, config, fixtures_dir):
     np.testing.assert_allclose(device2, host2, atol=1e-6)
 
 
+def test_ondevice_dead_multi_tile_and_validation(model, config, fixtures_dir, tmp_path):
+    """Crown-order batching keeps batch-BN parity even when a batch spans
+    two tiles; crowns without an RGB_tile are rejected loudly."""
+    import glob
+    import shutil
+
+    crowns = vector.read_file(os.path.join(fixtures_dir, "artifact", "crowns.shp"))
+    crowns = crowns.head(5)
+    rgb = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    rgb2 = str(tmp_path / "copy_of_tile.tif")
+    shutil.copy(rgb, rgb2)
+    # interleave two tiles so batches of 2 straddle the tile boundary
+    crowns["RGB_tile"] = [rgb, rgb2, rgb, rgb2, rgb]
+
+    ds = dead.UTMDataset(crowns=crowns, config=config)
+    host = model.predict_dataset(ds, batch_size=2)
+    device = model.predict_crowns_ondevice(crowns, batch_size=2)
+    np.testing.assert_allclose(device, host, atol=1e-6)
+
+    bad = crowns.copy()
+    bad.loc[bad.index[2], "RGB_tile"] = None
+    import pytest
+
+    with pytest.raises(ValueError, match="no RGB_tile"):
+        model.predict_crowns_ondevice(bad, batch_size=2)
+
+
 def test_checkpoint_roundtrip(model, config, tmp_path):
     path = str(tmp_path / "dead_ckpt")
     model.save_checkpoint(path)
