@@ -137,6 +137,33 @@ def predict_species(crowns, m, config):
     return results.merge(crowns, on="individual")
 
 
+_YEAR_IMAGES_JIT = None
+
+
+def _year_images(tile, rect, size):
+    """Module-level jitted window chain (gather + band clip + min-max):
+    compiled once per shape for the whole landscape sweep — a per-call jit
+    closure would recompile per tile through the slow axon relay."""
+    global _YEAR_IMAGES_JIT
+    if _YEAR_IMAGES_JIT is None:
+        from functools import partial
+
+        import jax
+
+        from deeptreeattention_tpu.ops.preprocess import BAND_CLIP, minmax_scale_pixels
+        from deeptreeattention_tpu.ops.windows import crown_resize_windows
+
+        @partial(jax.jit, static_argnums=(2,))
+        def fn(tile, rect, size):
+            win = crown_resize_windows(tile, rect, size=size)
+            if win.shape[-1] > 3:
+                win = win[..., BAND_CLIP:-BAND_CLIP]
+            return minmax_scale_pixels(win)
+
+        _YEAR_IMAGES_JIT = fn
+    return _YEAR_IMAGES_JIT(tile, rect, size)
+
+
 def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=None,
                              slab_rows=None):
     """Crop-file-free species prediction: stream the per-year HSI tiles to
@@ -163,8 +190,6 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
     import jax
     import jax.numpy as jnp
 
-    from deeptreeattention_tpu.ops.preprocess import BAND_CLIP, minmax_scale_pixels
-    from deeptreeattention_tpu.ops.windows import crown_resize_windows
     from deeptreeattention_tpu.parallel import data_sharding
 
     mesh = mesh if mesh is not None else getattr(m, "mesh", None)
@@ -195,12 +220,8 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
                          max(abs(r1 - r0), 1), max(abs(c1 - c0), 1)))
         bounds_px[year] = np.asarray(rect, np.int32)
 
-    @jax.jit
     def year_images(tile, rect):
-        win = crown_resize_windows(tile, rect, size=size)
-        if win.shape[-1] > 3:
-            win = win[..., BAND_CLIP:-BAND_CLIP]
-        return minmax_scale_pixels(win)
+        return _year_images(tile, rect, size)
 
     n = len(crowns)
     order = np.arange(n)
