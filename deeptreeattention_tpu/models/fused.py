@@ -219,12 +219,15 @@ def learned_ensemble_eval(variables, images, mask_mode="batch",
         b = (conv["conv"]["bias"] - bn_s["bn"]["mean"]) * g + conv["bn"]["bias"]
         if i == 0:
             # measured (scripts/bench_group_probe.py): at K = 9*349 a
-            # groups=Y conv lowers WORSE than Y dense convs — run the big-K
-            # stage per year and concat into the year-blocked channel layout
-            y_out = jnp.concatenate(
-                [_conv(x[:, y], k[y], b[y], dtype=dtype) for y in range(Y)],
-                axis=-1,
-            )
+            # groups=Y conv lowers WORSE than separate convs — run the big-K
+            # stage via vmap over years (lowers to a batch-grouped conv, the
+            # same form nn.vmap gives the module) into the year-blocked
+            # channel layout
+            y_out = jax.vmap(
+                lambda xy, ky, by: _conv(xy, ky, by, dtype=dtype),
+                in_axes=(1, 0, 0), out_axes=3,
+            )(x, k, b)  # [B, H, W, Y, F]
+            y_out = y_out.reshape(B, H, W, Y * filters)
         else:
             # small-K stages: grouped conv measured ~2.6x faster than
             # per-year (N = Y*filters fills the MXU lane width)
@@ -273,11 +276,13 @@ def fused_apply(model):
     config["fused_inference"].
 
     Measured on v5e at batch 4096 (scripts/bench_fused.py):
-      * Hang2020: fused 602k vs module 518k patches/s (+16%) -> fused.
-      * LearnedEnsemble: fused 140k vs module 165k crowns/s — nn.vmap's
-        batch-grouped conv lowering beats the per-year-concat stage-1 here,
-        so the module apply stays the production path;
-        `learned_ensemble_eval` remains available as the measured record.
+      * Hang2020: fused 635k vs module 518k patches/s (+23%) -> fused.
+      * LearnedEnsemble: fused 162.6k vs module 164.4k crowns/s — a wash
+        (per-year-concat stage-1 measured 140k; the vmap stage-1 +
+        groups=Y stages 2/3 closed the gap but doesn't win, because the
+        big-K stage-1 conv dominates), so the module apply stays the
+        production path; `learned_ensemble_eval` remains the measured
+        record.
     """
     from deeptreeattention_tpu.models.hang2020 import Hang2020
     from deeptreeattention_tpu.models.metadata import MetadataSensorFusion
