@@ -284,3 +284,51 @@ class LearnedDetector(Detector):
         obj = cls(config=config, width=int(meta.get("width", 32)))
         obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
         return obj
+
+
+def scenes_from_tiles(tile_paths, label_paths, patch=96, crops_per_tile=40,
+                      seed=0, min_box_px=8):
+    """Build a CenterNet training set from (RGB tile, crown-box shapefile)
+    pairs — the label format DeepForest-exported crowns already have
+    (reference src/generate.py:17-60 writes exactly such boxes).
+
+    Random patch-sized crops of each tile; each crop keeps the ground-truth
+    boxes that intersect it by at least min_box_px on both axes, in crop-local
+    pixel coordinates. Returns (scenes [N, patch, patch, 3] float32,
+    boxes_list of [n_i, 4]) ready for LearnedDetector.fit.
+    """
+    from deeptreeattention_tpu.geo import raster, vector
+
+    rng = np.random.RandomState(seed)
+    scenes, blists = [], []
+    for tile_path, label_path in zip(tile_paths, label_paths):
+        with raster.open_raster(tile_path) as src:
+            img = np.moveaxis(src.read(), 0, -1).astype(np.float32)
+            t = src.transform
+        gt = vector.read_file(label_path)
+        px_boxes = [
+            (
+                (g.bounds[0] - t.c) / t.a,
+                (t.f - g.bounds[3]) / (-t.e),
+                (g.bounds[2] - t.c) / t.a,
+                (t.f - g.bounds[1]) / (-t.e),
+            )
+            for g in gt.geometry
+        ]
+        h, w = img.shape[:2]
+        if h < patch or w < patch:
+            raise ValueError(
+                "tile {} ({}x{}) smaller than patch={}".format(tile_path, h, w, patch)
+            )
+        for _ in range(crops_per_tile):
+            r0 = rng.randint(0, h - patch + 1)
+            c0 = rng.randint(0, w - patch + 1)
+            bs = []
+            for (x0, y0, x1, y1) in px_boxes:
+                xx0, yy0 = max(x0 - c0, 0), max(y0 - r0, 0)
+                xx1, yy1 = min(x1 - c0, patch), min(y1 - r0, patch)
+                if xx1 - xx0 > min_box_px and yy1 - yy0 > min_box_px:
+                    bs.append((xx0, yy0, xx1, yy1))
+            scenes.append(img[r0:r0 + patch, c0:c0 + patch])
+            blists.append(np.asarray(bs, np.float32).reshape(-1, 4))
+    return np.stack(scenes), blists

@@ -110,3 +110,33 @@ def test_predict_entry(ROOT, overrides, m, config, tmp_path_factory):
     # idempotent rerun: outputs exist, so the sweep should be quick and clean
     result2 = _run("predict.py", ov, ROOT, timeout=600)
     assert result2.returncode == 0, result2.stderr[-3000:]
+
+
+def test_train_detector_entry(ROOT, fixtures_dir, tmp_path):
+    """train_detector.py: fit the CenterNet on fixture crown boxes and write
+    a checkpoint loadable through the detector factory."""
+    rgb = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    labels = os.path.join(fixtures_dir, "artifact", "crowns.shp")
+    savedir = str(tmp_path / "det")
+    overrides = {
+        "detector_train": {
+            "tiles": [rgb],
+            "labels": [labels],
+            "savedir": savedir,
+            "patch": 64,
+            "steps": 30,
+            "width": 8,
+            "crops_per_tile": 8,
+            "batch_size": 4,
+        }
+    }
+    result = _run("train_detector.py", overrides, ROOT, timeout=900)
+    assert result.returncode == 0, result.stderr[-4000:]
+    summary = json.loads(result.stdout.strip().splitlines()[-1])
+    assert summary["final_loss"] < summary["first_loss"]
+
+    from deeptreeattention_tpu.data.detection import load_detector
+
+    det = load_detector({"crown_detector": savedir})
+    boxes = det.predict_tile(rgb)
+    assert boxes is None or set(["xmin", "ymin", "xmax", "ymax"]) <= set(boxes.columns)
