@@ -132,34 +132,18 @@ class H5Raster:
     def dtypes(self):
         return [np.dtype(self.dtype).name] * self.count
 
+    def _read_clamped(self, r0, c0, r1, c1):
+        cube = self._data[r0:r1, c0:c1]  # lazy: intersecting chunks only
+        return np.ascontiguousarray(np.moveaxis(cube[:, :, self._band_idx], -1, 0))
+
     def read(self, indexes=None, window=None, boundless=False, fill_value=0):
-        if window is None:
-            window = self._Window(0, 0, self.width, self.height)
-        else:
-            window = window.round()
-        c0, r0 = window.col_off, window.row_off
-        w, h = window.width, window.height
-        if w <= 0 or h <= 0:
-            return np.zeros((self.count, max(h, 0), max(w, 0)), self.dtype)
-        rc0, cc0 = max(r0, 0), max(c0, 0)
-        rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
-        if rc1 <= rc0 or cc1 <= cc0:
-            if boundless:
-                return np.full((self.count, h, w), fill_value, self.dtype)
-            return np.zeros((self.count, 0, 0), self.dtype)
-        cube = self._data[rc0:rc1, cc0:cc1]  # lazy: intersecting chunks only
-        inner = np.ascontiguousarray(
-            np.moveaxis(cube[:, :, self._band_idx], -1, 0))
-        if not boundless:
-            out = inner
-        else:
-            out = np.full((self.count, h, w), fill_value, self.dtype)
-            out[:, rc0 - r0:rc1 - r0, cc0 - c0:cc1 - c0] = inner
-        if indexes is not None:
-            sel = ([i - 1 for i in indexes] if not np.isscalar(indexes)
-                   else indexes - 1)
-            out = out[sel]
-        return np.ascontiguousarray(out)
+        from deeptreeattention_tpu.geo.tiff import windowed_read
+
+        return windowed_read(
+            self.count, self.height, self.width, self.dtype,
+            self._read_clamped, window,
+            boundless=boundless, fill_value=fill_value, indexes=indexes,
+        )
 
     def read_bounds(self, left, bottom, right, top, boundless=False):
         win = self._window_from_bounds(left, bottom, right, top, self.transform)

@@ -39,6 +39,9 @@ UNDEF = 0xFFFFFFFFFFFFFFFF
 class _Reader:
     def __init__(self, data):
         self.data = data
+        # memoryview backs rebased (userblock) files; slices must surface as
+        # bytes so .decode()/comparisons behave like mmap/bytes slices
+        self._tobytes = isinstance(data, memoryview)
 
     def u8(self, off):
         return self.data[off]
@@ -53,7 +56,8 @@ class _Reader:
         return struct.unpack_from("<Q", self.data, off)[0]
 
     def raw(self, off, n):
-        return self.data[off:off + n]
+        b = self.data[off:off + n]
+        return bytes(b) if self._tobytes else b
 
 
 def _pad8(n):
@@ -422,7 +426,8 @@ class Group:
         if self._links is not None:
             return
         f, r = self._f, self._f._r
-        self._links = {}
+        links = {}  # assigned to self only on success (a partial dict would
+        # cache an empty/incomplete listing past a NotImplementedError)
         for mtype, body, msize in self._msgs:
             if mtype == MSG_SYMBOL_TABLE:
                 btree = r.u64(body)
@@ -431,7 +436,7 @@ class Group:
                 heap_data_addr = r.u64(heap + 24)
                 heap_size = r.u64(heap + 8)
                 heap_data = r.raw(heap_data_addr, heap_size)
-                _walk_group_btree(r, btree, heap_data, self._links)
+                _walk_group_btree(r, btree, heap_data, links)
             elif mtype == MSG_LINK:
                 version = r.u8(body)
                 flags = r.u8(body + 1)
@@ -450,14 +455,29 @@ class Group:
                 lname = r.raw(p, nlen).decode()
                 p += nlen
                 if ltype == 0:  # hard link
-                    self._links[lname] = r.u64(p)
+                    links[lname] = r.u64(p)
+            elif mtype == MSG_LINK_INFO:
+                # dense link storage (fractal heap + name b-tree) is not
+                # parsed — fail loudly so read_with_fallback retries via
+                # h5py instead of listing an empty group
+                flags = r.u8(body + 1)
+                p = body + 2 + (8 if flags & 0x01 else 0)
+                if r.u64(p) != UNDEF:
+                    raise NotImplementedError(
+                        "hdf5: dense link storage (fractal heap)"
+                    )
+        self._links = links
 
     def keys(self):
         self._ensure_links()
         return list(self._links.keys())
 
     def __contains__(self, key):
-        return key.split("/")[0] in self.keys()
+        try:
+            self[key]
+            return True
+        except KeyError:
+            return False
 
     def __getitem__(self, path):
         obj = self
@@ -697,7 +717,7 @@ class Dataset:
         if key is Ellipsis or (isinstance(key, tuple) and key == ()) or (
                 isinstance(key, slice) and key == slice(None)):
             arr = self._read_all()
-        elif self._layout[0] == "chunked" and self.shape:
+        elif self._layout[0] in ("chunked", "chunked4") and self.shape:
             # normalize into per-dim (start, stop) slabs where possible;
             # anything fancier falls back to full read + numpy indexing
             sel, post, ok = [], [], True
@@ -708,7 +728,15 @@ class Dataset:
                 keys = keys + (slice(None),) * (len(self.shape) - len(keys))
                 for k, dim in zip(keys, self.shape):
                     if isinstance(k, (int, np.integer)):
-                        i = int(k) % dim
+                        i = int(k)
+                        if i < 0:
+                            i += dim
+                        if not 0 <= i < dim:
+                            raise IndexError(
+                                "index {} out of range for axis of size {}".format(
+                                    int(k), dim
+                                )
+                            )
                         sel.append((i, i + 1))
                         post.append(0)
                     elif isinstance(k, slice) and (k.step in (None, 1)):
@@ -759,14 +787,20 @@ class File(Group):
             if base >= len(data):
                 self._fh.close()
                 raise ValueError("not an HDF5 file: {}".format(path))
+        self._mm = data
+        if base:
+            # HDF5 file addresses are relative to the superblock base
+            # (userblock files); rebase with a zero-copy view so every
+            # address below resolves unchanged
+            data = memoryview(data)[base:]
         self._r = _Reader(data)
-        version = self._r.u8(base + 8)
+        version = self._r.u8(8)
         if version in (0, 1):
-            assert self._r.u8(base + 13) == 8, "hdf5: offsets must be 8 bytes"
-            root_entry = base + 24 + (4 if version == 1 else 0) + 4 * 8
+            assert self._r.u8(13) == 8, "hdf5: offsets must be 8 bytes"
+            root_entry = 24 + (4 if version == 1 else 0) + 4 * 8
             root_addr = self._r.u64(root_entry + 8)
         elif version in (2, 3):
-            root_addr = self._r.u64(base + 12 + 3 * 8)
+            root_addr = self._r.u64(12 + 3 * 8)
         else:
             raise NotImplementedError("hdf5: superblock v{}".format(version))
         self._objects = {}
@@ -787,9 +821,10 @@ class File(Group):
             cache = getattr(obj, "_cache", None)
             if cache:
                 cache.clear()
-        data = self._r.data
-        if isinstance(data, mmap.mmap):
-            data.close()
+        if isinstance(self._r.data, memoryview):
+            self._r.data.release()
+        if isinstance(self._mm, mmap.mmap):
+            self._mm.close()
         self._fh.close()
 
     # object cache ------------------------------------------------------------
@@ -881,8 +916,19 @@ def read_with_fallback(path, fn):
 
 
 def is_hdf5(path):
+    """Like h5py.is_hdf5: the superblock signature may sit at 0 or any
+    power-of-2 offset >= 512 (userblock files)."""
     try:
+        import os
+
+        size = os.path.getsize(path)
         with open(path, "rb") as fh:
-            return fh.read(8) == SIGNATURE
+            off = 0
+            while off < size:
+                fh.seek(off)
+                if fh.read(8) == SIGNATURE:
+                    return True
+                off = 512 if off == 0 else off * 2
+        return False
     except OSError:
         return False

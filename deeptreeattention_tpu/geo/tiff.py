@@ -55,6 +55,42 @@ def _sample_format_of(dtype):
     raise ValueError("unsupported dtype {}".format(dtype))
 
 
+
+def windowed_read(count, height, width, dtype, read_clamped, window,
+                  boundless=False, fill_value=0, indexes=None):
+    """rasterio-parity windowed read semantics, shared by every raster codec
+    (TIFF here, NEON HDF5 in data/hyperspectral.py): Window.round(), clamp
+    to the image, boundless fill_value padding, 1-based `indexes` selection.
+    `read_clamped(r0, c0, r1, c1)` returns the in-image part [bands, h, w].
+    """
+    if window is None:
+        window = Window(0, 0, width, height)
+    else:
+        window = window.round()
+    c0, r0, w, h = window.col_off, window.row_off, window.width, window.height
+    if w <= 0 or h <= 0:
+        return np.zeros((count, max(h, 0), max(w, 0)), dtype)
+
+    # clamp to image, remember padding
+    rc0, cc0 = max(r0, 0), max(c0, 0)
+    rc1, cc1 = min(r0 + h, height), min(c0 + w, width)
+    if rc1 <= rc0 or cc1 <= cc0:
+        if boundless:
+            return np.full((count, h, w), fill_value, dtype)
+        return np.zeros((count, 0, 0), dtype)
+
+    inner = read_clamped(rc0, cc0, rc1, cc1)  # [bands, ih, iw]
+    if not boundless:
+        out = inner
+    else:
+        out = np.full((count, h, w), fill_value, dtype)
+        out[:, rc0 - r0 : rc1 - r0, cc0 - c0 : cc1 - c0] = inner
+    if indexes is not None:
+        sel = [i - 1 for i in indexes] if not np.isscalar(indexes) else indexes - 1
+        out = out[sel]
+    return np.ascontiguousarray(out)
+
+
 class TiffReader:
     """Lazy windowed reader over one TIFF image (first IFD)."""
 
@@ -200,32 +236,11 @@ class TiffReader:
         semantics used by the per-pixel window cropper, reference
         src/patches.py:70).
         """
-        if window is None:
-            window = Window(0, 0, self.width, self.height)
-        else:
-            window = window.round()
-        c0, r0, w, h = window.col_off, window.row_off, window.width, window.height
-        if w <= 0 or h <= 0:
-            return np.zeros((self.count, max(h, 0), max(w, 0)), self.dtype)
-
-        # clamp to image, remember padding
-        rc0, cc0 = max(r0, 0), max(c0, 0)
-        rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
-        if rc1 <= rc0 or cc1 <= cc0:
-            if boundless:
-                return np.full((self.count, h, w), fill_value, self.dtype)
-            return np.zeros((self.count, 0, 0), self.dtype)
-
-        inner = self._read_clamped(rc0, cc0, rc1, cc1)  # [bands, ih, iw]
-        if not boundless:
-            out = inner
-        else:
-            out = np.full((self.count, h, w), fill_value, self.dtype)
-            out[:, rc0 - r0 : rc1 - r0, cc0 - c0 : cc1 - c0] = inner
-        if indexes is not None:
-            sel = [i - 1 for i in indexes] if not np.isscalar(indexes) else indexes - 1
-            out = out[sel]
-        return np.ascontiguousarray(out)
+        return windowed_read(
+            self.count, self.height, self.width, self.dtype,
+            self._read_clamped, window,
+            boundless=boundless, fill_value=fill_value, indexes=indexes,
+        )
 
     def _read_clamped(self, r0, c0, r1, c1):
         h, w = r1 - r0, c1 - c0

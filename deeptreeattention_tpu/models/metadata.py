@@ -54,12 +54,18 @@ class MetadataModel(treemodel.TreeModel):
     """TreeModel variant with (HSI, site) two-input batches."""
 
     def __init__(self, model, classes, label_dict, config, sites=None, seed=0):
+        from deeptreeattention_tpu.ops.preprocess import make_augmenter
+        from deeptreeattention_tpu.parallel import resolve_mesh
+
         self.config = config
         self.classes = classes
         self.model = model
         self.label_to_index = label_dict
         self.index_to_label = {v: k for k, v in label_dict.items()}
         self.key = jax.random.PRNGKey(seed)
+        # the inherited _iter_batches prefetch pipeline reads these
+        self.mesh = resolve_mesh(config)
+        self._augmenter = make_augmenter(config.get("augmentations"))
 
         cfg = config
         sample_img = jnp.zeros(

@@ -222,10 +222,15 @@ def augment_batch(images, key, flip_p=0.5, spectral_jitter=0.0, brightness=0.0,
 
 
 def make_augmenter(cfg):
-    """config["augmentations"] dict -> jit fn(images, key) (None if empty)."""
+    """config["augmentations"] dict -> jit fn(images, key) (None if empty).
+
+    Only what the config names is enabled: flips stay OFF unless flip_p is
+    set (the dataset already applies the reference's deterministic flips;
+    augment_batch's own 0.5 default is for direct callers)."""
     cfg = dict(cfg or {})
     if not any(cfg.values()):
         return None
+    cfg.setdefault("flip_p", 0.0)
     import functools
 
     return jax.jit(functools.partial(augment_batch, **cfg))

@@ -259,8 +259,12 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
                 eff = min(slab_rows, h)
                 start = int(rect[:, 0].min())
                 start = max(0, min(start, h - eff))
+                # any window ending past the slab would clamp to the slab's
+                # last row instead of the rows the whole-tile path reads —
+                # unless the slab already reaches the tile bottom, where
+                # both paths clamp identically
                 if int((rect[:, 0] + rect[:, 2]).max()) > start + eff and \
-                        int((rect[:, 0] + rect[:, 2]).max()) <= h:
+                        start + eff < h:
                     raise ValueError(
                         "chunk row span exceeds slab_rows={}; lower `chunk` or "
                         "raise slab_rows".format(slab_rows)

@@ -317,3 +317,82 @@ def test_corrupt_deflate_chunk_fails_loudly(tmp_path):
     f = hdf5.File(str(p))
     with pytest.raises(Exception):
         np.asarray(f["d"][:])
+
+
+# ---------------------------------------------------------------------------
+# h5py-parity regressions (libver='latest' layouts, indexing semantics)
+# ---------------------------------------------------------------------------
+
+def test_latest_libver_lazy_window(tmp_path):
+    """v4 (chunked4) layouts take the lazy hyperslab path, matching h5py."""
+    p = tmp_path / "v4.h5"
+    data = np.arange(96 * 96, dtype=np.int32).reshape(96, 96)
+    with h5py.File(p, "w", libver="latest") as f:
+        f.create_dataset("d", data=data, chunks=(16, 16), compression="gzip")
+    f = hdf5.File(str(p))
+    np.testing.assert_array_equal(np.asarray(f["d"][3:20, 40:55]), data[3:20, 40:55])
+    np.testing.assert_array_equal(np.asarray(f["d"][:]), data)
+
+
+def test_dense_link_storage_falls_back(tmp_path):
+    """Groups with dense (fractal-heap) links raise NotImplementedError from
+    the in-house parser instead of listing nothing — so read_with_fallback
+    keeps working via h5py."""
+    p = tmp_path / "dense.h5"
+    with h5py.File(p, "w", libver="latest") as f:
+        g = f.create_group("G")
+        for i in range(40):
+            g.create_dataset("d{:02d}".format(i), data=np.arange(4))
+    f = hdf5.File(str(p))
+    try:
+        keys = f["G"].keys()
+        # parsed fine -> must agree with h5py
+        assert len(keys) == 40
+    except NotImplementedError:
+        pass  # loud failure is the contract; silent empty listing is the bug
+
+    from deeptreeattention_tpu.geo.hdf5 import read_with_fallback
+
+    def op(h):
+        return sorted(h["G"].keys())
+
+    assert len(read_with_fallback(str(p), op)) == 40
+
+
+def test_integer_index_bounds(tmp_path):
+    p = tmp_path / "ix.h5"
+    data = np.arange(64 * 8, dtype=np.int16).reshape(64, 8)
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", data=data, chunks=(16, 8))
+    f = hdf5.File(str(p))
+    np.testing.assert_array_equal(np.asarray(f["d"][5]), data[5])
+    np.testing.assert_array_equal(np.asarray(f["d"][-1]), data[-1])
+    with pytest.raises(IndexError):
+        f["d"][64]
+    with pytest.raises(IndexError):
+        f["d"][70]
+
+
+def test_contains_nested_paths(h5file):
+    f = hdf5.File(str(h5file))
+    keys = f.keys()
+    assert keys
+    first = keys[0]
+    assert first in f
+    assert "{}/definitely_missing".format(first) not in f
+    assert "no_such_thing" not in f
+
+
+def test_userblock_file(tmp_path):
+    p = tmp_path / "ub.h5"
+    data = np.arange(32 * 32, dtype=np.float32).reshape(32, 32)
+    with h5py.File(p, "w", userblock_size=512) as f:
+        f.create_dataset("d", data=data, chunks=(8, 8), compression="gzip")
+        f["d"].attrs["tag"] = np.int32(7)
+    with open(p, "r+b") as fh:
+        fh.write(b"USERBLOCK!" * 8)  # arbitrary prefix content
+    f = hdf5.File(str(p))
+    np.testing.assert_array_equal(np.asarray(f["d"][:]), data)
+    np.testing.assert_array_equal(np.asarray(f["d"][2:9, 1:5]), data[2:9, 1:5])
+    assert int(f["d"].attrs["tag"]) == 7
+    assert hdf5.is_hdf5(str(p))  # h5py-style offset scan finds the superblock

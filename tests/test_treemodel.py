@@ -103,6 +103,10 @@ def test_metadata_model_fit(config, dm):
     probs = mm.predict({"HSI": batch["HSI"], "site": batch["site"]})
     assert probs.shape[1] == dm.num_classes
 
+    # the full public fit loop (prefetch pipeline reads self.mesh)
+    history = mm.fit(ds, fast_dev_run=True)
+    assert np.isfinite(history[0]["train_loss"])
+
 
 def test_year_backbone_broadcast(config):
     bands = config["bands"]
