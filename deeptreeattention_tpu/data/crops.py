@@ -39,7 +39,10 @@ def crop(bounds, sensor_path=None, savedir=None, basename=None, src=None, as_num
                 np.save(filename, img)
             else:
                 filename = os.path.join(savedir, "{}.tif".format(basename))
-                raster.write_raster(filename, img, crs=src.crs)
+                # crops keep their georeferencing (reference src/patches.py
+                # writes the window transform)
+                t = src.window_transform(src.window(left, bottom, right, top))
+                raster.write_raster(filename, img, crs=src.crs, transform=t)
             return filename
         return img
     finally:

@@ -33,9 +33,17 @@ def predict_trees(detector, rgb_path, bounds, expand=40):
 
     with raster.open_raster(rgb_path) as src:
         res_x, res_y = src.res
-        img = src.read_bounds(left, bottom, right, top)
+        # boundless: windows crossing the tile edge keep the requested
+        # origin (pixel 0,0 == left/top) so the pixel->UTM mapping below
+        # holds; a clamped read would shift every box by the clamp amount
+        img = src.read_bounds(left, bottom, right, top, boundless=True)
     img = np.moveaxis(img, 0, -1)
-    boxes = detector.predict_image(img)
+    if hasattr(detector, "predict_array"):
+        # meter-parameterized detectors need the tile resolution: the crown
+        # prior is physical (m), NEON RGB is 0.1 m/px
+        boxes = detector.predict_array(img, res=res_x)
+    else:
+        boxes = detector.predict_image(img)
     if boxes is None or boxes.empty:
         return None
 
@@ -123,10 +131,11 @@ def process_plot(plot_data, rgb_pool, detector):
     return merged, boxes
 
 
-def run(plot, df, savedir=None, raw_box_savedir=None, rgb_pool=None, detector=None):
+def run(plot, df, savedir=None, raw_box_savedir=None, rgb_pool=None, detector=None,
+        config=None):
     """Per-plot worker (pool task)."""
     if detector is None:
-        detector = detection.load_detector()
+        detector = detection.load_detector(config)
     plot_data = df[df.plotID == plot]
     try:
         predicted, raw = process_plot(plot_data, rgb_pool, detector)
@@ -143,8 +152,12 @@ def run(plot, df, savedir=None, raw_box_savedir=None, rgb_pool=None, detector=No
 
 
 def points_to_crowns(field_data, rgb_dir, savedir=None, raw_box_savedir=None,
-                     client=None, detector=None):
-    """Full fan-out: every plot -> crown boxes joined with species labels."""
+                     client=None, detector=None, config=None):
+    """Full fan-out: every plot -> crown boxes joined with species labels.
+
+    config threads through to detection.load_detector so
+    config["crown_detector"] / config["crown_diameter"] govern ETL crown
+    generation, not just tile prediction."""
     df = vector.read_file(field_data) if isinstance(field_data, str) else field_data
     plot_names = df.plotID.unique()
     rgb_pool = glob.glob(rgb_dir, recursive=True)
@@ -153,14 +166,14 @@ def points_to_crowns(field_data, rgb_dir, savedir=None, raw_box_savedir=None,
         futures = [
             client.submit(
                 run, plot=plot, df=df, rgb_pool=rgb_pool,
-                savedir=savedir, raw_box_savedir=raw_box_savedir,
+                savedir=savedir, raw_box_savedir=raw_box_savedir, config=config,
             )
             for plot in plot_names
         ]
         client.wait(futures)
         results = [f.result() for f in futures if f.exception() is None]
     else:
-        detector = detector or detection.load_detector()
+        detector = detector or detection.load_detector(config)
         results = []
         for plot in plot_names:
             try:

@@ -63,6 +63,15 @@ class TreeData:
             IFAS = None
             if cfg.get("megaplot_dir"):
                 mega = megaplot_mod.load(directory=cfg["megaplot_dir"], config=cfg, site="OSBS")
+                if mega is None or mega.empty:
+                    log.warning(
+                        "megaplot_dir %s produced no plots — skipping megaplot ingest",
+                        cfg["megaplot_dir"],
+                    )
+                    mega = None
+            else:
+                mega = None
+            if mega is not None:
                 mega.loc[mega.taxonID == "MAGR4", "taxonID"] = "MAGNO"
                 if "filename" in mega.columns:
                     is_ifas = mega.filename.astype(str).str.contains("IFAS")
@@ -106,6 +115,7 @@ class TreeData:
                 savedir=os.path.join(self.data_dir, "boxes"),
                 raw_box_savedir=os.path.join(self.data_dir, "boxes"),
                 client=self.client,
+                config=cfg,
             )
             if IFAS is not None and not IFAS.empty:
                 self.crowns = vector.GeoDataFrame(pd.concat([self.crowns, IFAS]))

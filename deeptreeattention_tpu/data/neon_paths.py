@@ -38,12 +38,16 @@ def find_sensor_path(lookup_pool, shapefile=None, bounds=None, geo_index=None, a
 
 
 def year_from_tile(path):
-    """Acquisition year from a NEON tile path (filename first, then dirs)."""
+    """Acquisition year from a NEON tile path (filename first, then dirs).
+
+    Only standalone 4-digit years match — lookarounds keep digit runs inside
+    UTM coordinates (e.g. northing 3282000, easting 4196000) from being read
+    as years; coordinate-only basenames fall through to the year directory
+    (the reference's path.split("/")[6], src/neon_paths.py:99-100)."""
     base = os.path.splitext(os.path.basename(path))[0]
-    m = re.findall(r"(19|20)\d{2}", base)
+    m = re.findall(r"(?<!\d)(?:19|20)\d{2}(?!\d)", base)
     if m:
-        full = re.findall(r"(?:19|20)\d{2}", base)
-        return full[-1]
+        return m[-1]
     for part in reversed(path.split(os.sep)):
         if re.fullmatch(r"(19|20)\d{2}", part):
             return part
@@ -82,21 +86,34 @@ def elevation_from_tile(path):
         raise IOError("{} failed to read elevation: {}".format(path, e))
 
 
+def hyperspectral_tif_name(rgb_path, year=None):
+    """The single naming rule for converted reflectance tifs — the
+    idempotent-resume cache (lookup_and_convert) and the writer
+    (convert_h5 -> generate_raster) must agree on this name."""
+    suffix = "_{}".format(year) if year else ""
+    return (
+        os.path.splitext(os.path.basename(rgb_path))[0]
+        + "_hyperspectral{}.tif".format(suffix)
+    )
+
+
 def convert_h5(hyperspectral_h5_path, rgb_path, savedir, year=None):
     """h5 reflectance tile -> GeoTIFF named after the RGB tile (+year)."""
     from deeptreeattention_tpu.data import hyperspectral
 
-    suffix = "_{}".format(year) if year else ""
-    tif_basename = (
-        os.path.splitext(os.path.basename(rgb_path))[0] + "_hyperspectral{}.tif".format(suffix)
-    )
-    tif_path = os.path.join(savedir, tif_basename)
-    hyperspectral.generate_raster(
+    written = hyperspectral.generate_raster(
         h5_path=hyperspectral_h5_path,
         rgb_filename=rgb_path,
         suffix=year,
         bands="no_water",
         save_dir=savedir,
+    )
+    tif_path = os.path.join(savedir, written)
+    expected = os.path.join(savedir, hyperspectral_tif_name(rgb_path, year))
+    assert tif_path == expected, (
+        "converted tif name drifted from the cache key: {} != {}".format(
+            tif_path, expected
+        )
     )
     return tif_path
 
@@ -116,12 +133,7 @@ def lookup_and_convert(rgb_pool, hyperspectral_pool, savedir, bounds=None,
     )
 
     def convert_one(path, year):
-        suffix = "_{}".format(year) if year else ""
-        tif_basename = (
-            os.path.splitext(os.path.basename(rgb_path))[0]
-            + "_hyperspectral{}.tif".format(suffix)
-        )
-        tif_path = os.path.join(savedir, tif_basename)
+        tif_path = os.path.join(savedir, hyperspectral_tif_name(rgb_path, year))
         if not os.path.exists(tif_path):
             tif_path = convert_h5(path, rgb_path, savedir, year=year)
         return tif_path

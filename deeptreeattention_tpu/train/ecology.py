@@ -49,7 +49,9 @@ def novel_prediction(model, csv_file, config):
 
     from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
 
-    ds = TreeDataset(csv_file=csv_file, config=config, train=True)
+    # train=False: novel-species csvs have no label column by construction
+    # (generate_crops keeps only the annotation schema)
+    ds = TreeDataset(csv_file=csv_file, config=config, train=False)
     loader = Loader(ds, config["batch_size"], pad_to_batch=config.get("pad_batches", True))
 
     individuals, top_scores, softmax_scores = [], [], []

@@ -58,10 +58,8 @@ def _linear_from_nchw_flatten(w, chw):
     torch_idx = np.transpose(idx, (2, 0, 1)).reshape(-1)  # torch order of same elements
     # torch weight column j corresponds to torch feature j; our feature order
     # inverse-permutes the columns
-    perm = np.argsort(np.argsort(torch_idx))
     inv = np.empty_like(torch_idx)
     inv[torch_idx] = np.arange(len(torch_idx))
-    del perm
     return np.transpose(w[:, inv], (1, 0))
 
 

@@ -164,3 +164,49 @@ def test_megaplot_load(contrib_shp, config):
     # two spatial clusters -> at least two pseudo-plots
     assert out.plotID.nunique() >= 2
     assert out.individual.is_unique
+
+
+def test_year_from_tile_ignores_coordinates():
+    """UTM digit runs must not be read as years (real NEON basenames carry
+    eastings/northings like 3282000 that contain '2000'/'1960')."""
+    from deeptreeattention_tpu.data import neon_paths
+
+    assert (
+        neon_paths.year_from_tile(
+            "/pool/2019/NEON_D03_OSBS_DP3_399000_3282000_reflectance.h5"
+        )
+        == "2019"
+    )
+    assert (
+        neon_paths.year_from_tile(
+            "/pool/2021/NEON_D01_HARV_DP3_720000_4196000_reflectance.h5"
+        )
+        == "2021"
+    )
+    assert (
+        neon_paths.year_from_tile("2019_HARV_5_726000_4699000_image_2019.tif")
+        == "2019"
+    )
+
+
+def test_crop_tif_keeps_georeferencing(fixtures_dir, tmp_path):
+    """Written crown crops carry the window transform (reference
+    src/patches.py behavior), not pixel coordinates."""
+    import glob
+
+    import numpy as np
+
+    from deeptreeattention_tpu.data.crops import crop
+    from deeptreeattention_tpu.geo import raster
+
+    tile = sorted(glob.glob(os.path.join(fixtures_dir, "hsi", "*.tif")))[0]
+    with raster.open_raster(tile) as src:
+        left, bottom, right, top = src.bounds
+    l, b = left + 5, bottom + 5
+    path = crop((l, b, l + 6, b + 6), sensor_path=tile,
+                savedir=str(tmp_path), basename="georef")
+    with raster.open_raster(path) as out:
+        t = out.transform
+        assert abs(t.c - l) < 1e-6, (t.c, l)
+        assert abs((t.f + t.e * out.height) - b) < 1e-6
+        assert out.crs is not None
