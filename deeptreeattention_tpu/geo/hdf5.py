@@ -482,6 +482,8 @@ class Group:
     def __getitem__(self, path):
         obj = self
         for part in path.strip("/").split("/"):
+            if not hasattr(obj, "_ensure_links"):
+                raise KeyError(path)  # traversal through a Dataset (h5py: KeyError)
             obj._ensure_links()
             if part not in obj._links:
                 raise KeyError(path)
@@ -747,6 +749,11 @@ class Dataset:
                         ok = False
                         break
             if ok:
+                if self._dtype.cls == 9:
+                    # same contract as _read_all: vlen chunks would come back
+                    # as raw global-heap-ID records — fail loudly so
+                    # read_with_fallback retries via h5py
+                    raise NotImplementedError("hdf5: chunked variable-length data")
                 arr = self._read_chunked(sel)[tuple(post)]
             else:
                 arr = self._read_all()[key]

@@ -204,33 +204,25 @@ class NativeRaster:
         return (west, north + self.height * self.transform.e,
                 west + self.width * self.transform.a, north)
 
-    def read(self, window=None, boundless=False, fill_value=0, indexes=None):
-        if window is None:
-            r0, c0, h, w = 0, 0, self.height, self.width
-        else:
-            win = window.round()
-            r0, c0, h, w = win.row_off, win.col_off, win.height, win.width
-        if h <= 0 or w <= 0:
-            return np.zeros((self.count, max(h, 0), max(w, 0)), self.dtype)
+    def _read_clamped(self, r0, c0, r1, c1):
+        h, w = r1 - r0, c1 - c0
         out = np.empty((self.count, h, w), self.dtype)
         rc = self._lib.dta_tiff_read_window(self._h, r0, c0, h, w, out.ctypes.data)
         if rc != 0:
             raise IOError("native window read failed for {}".format(self.path))
-        if not boundless:
-            rc0, cc0 = max(r0, 0), max(c0, 0)
-            rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
-            out = out[:, rc0 - r0 : max(rc1 - r0, 0), cc0 - c0 : max(cc1 - c0, 0)]
-        elif fill_value != 0:
-            # native path zero-fills; patch non-zero fills on the border
-            mask = np.zeros((h, w), bool)
-            rc0, cc0 = max(r0, 0), max(c0, 0)
-            rc1, cc1 = min(r0 + h, self.height), min(c0 + w, self.width)
-            mask[rc0 - r0 : max(rc1 - r0, 0), cc0 - c0 : max(cc1 - c0, 0)] = True
-            out[:, ~mask] = fill_value
-        if indexes is not None:
-            sel = [i - 1 for i in indexes]
-            out = out[sel]
-        return np.ascontiguousarray(out)
+        return out
+
+    def read(self, window=None, boundless=False, fill_value=0, indexes=None):
+        # the shared rasterio-parity window semantics (tiff.windowed_read) —
+        # keeps clamp/boundless/scalar-indexes behavior identical across the
+        # numpy and native backends
+        from deeptreeattention_tpu.geo.tiff import windowed_read
+
+        return windowed_read(
+            self.count, self.height, self.width, self.dtype,
+            self._read_clamped, window,
+            boundless=boundless, fill_value=fill_value, indexes=indexes,
+        )
 
     def read_patches(self, rowcols, win=11, clip=10, size=11):
         """[N, size, size, clipped_bands] float32 model-ready patches for N

@@ -158,16 +158,22 @@ def sjoin(left, right, how="inner", predicate="intersects", lsuffix="left", rsuf
 
     lcols = list(left.columns)
     rcols = [c for c in right.columns if c != right._geom_col] if isinstance(right, GeoDataFrame) else list(right.columns)
+    # vectorized row gathers: per-element .iloc lookups are O(pairs x cols)
+    # Python-level work, minutes of host time at landscape pair counts
+    li = [i for i, _ in pairs]
+    rj = [j for _, j in pairs]
+    ltaken = left.take(li).reset_index(drop=True) if len(lcols) else pd.DataFrame()
+    rtaken = right.take(rj).reset_index(drop=True) if len(rcols) else pd.DataFrame()
     out_cols = {}
     for c in lcols:
         name = c if (c not in rcols or c == left._geom_col) else "{}_{}".format(c, lsuffix)
-        out_cols[name] = [left.iloc[i][c] for i, _ in pairs]
+        out_cols[name] = list(ltaken[c])
     for c in rcols:
         name = c if c not in lcols else "{}_{}".format(c, rsuffix)
-        out_cols[name] = [right[c].iloc[j] for _, j in pairs]
-    out_cols["index_right"] = [rindex[j] for _, j in pairs]
+        out_cols[name] = list(rtaken[c])
+    out_cols["index_right"] = [rindex[j] for j in rj]
     out = GeoDataFrame(pd.DataFrame(out_cols), crs=getattr(left, "crs", None))
-    out.index = [left.index[i] for i, _ in pairs]
+    out.index = [left.index[i] for i in li]
     return out
 
 

@@ -48,6 +48,17 @@ def _pixels_for(geom, src):
         win.width = 1
     if win.height <= 0:
         win.height = 1
+    # clamp to the raster BEFORE masking: a non-boundless read of an
+    # edge-crossing window returns the clamped array, and the polygon mask
+    # must be built at that same (clamped) size
+    from deeptreeattention_tpu.geo.affine import Window
+
+    c0, r0 = max(win.col_off, 0), max(win.row_off, 0)
+    c1 = min(win.col_off + win.width, src.width)
+    r1 = min(win.row_off + win.height, src.height)
+    if c1 <= c0 or r1 <= r0:
+        return np.array([])
+    win = Window(c0, r0, c1 - c0, r1 - r0)
     arr = src.read(window=win)
     if arr.size == 0:
         return np.array([])

@@ -84,15 +84,19 @@ def crown_pixel_anchors(bounds_list, transform, size=11, budget=None):
 
     Every pixel whose center lies inside a crown's bounds contributes one
     window anchored at that pixel (reference per-pixel window semantics,
-    src/patches.py:50-83). Returns padded arrays when budget is given.
+    src/patches.py:50-83). Pixel enumeration uses the same Window.round()
+    math as the host path (data/patches.row_col_from_bounds) so both
+    backends see identical windows. Returns padded arrays when budget is
+    given.
     """
+    from deeptreeattention_tpu.geo.affine import window_from_bounds
+
     anchors = []
     crown_ids = []
     for ci, (left, bottom, right, top) in enumerate(bounds_list):
-        r0, c0 = transform.rowcol(left, top)
-        r1, c1 = transform.rowcol(right, bottom)
-        for r in range(min(r0, r1), max(r0, r1)):
-            for c in range(min(c0, c1), max(c0, c1)):
+        win = window_from_bounds(left, bottom, right, top, transform).round()
+        for r in range(win.row_off, win.row_off + win.height):
+            for c in range(win.col_off, win.col_off + win.width):
                 anchors.append((r, c))
                 crown_ids.append(ci)
     anchors = np.asarray(anchors, np.int32).reshape(-1, 2)

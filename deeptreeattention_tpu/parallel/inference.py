@@ -46,17 +46,28 @@ def make_sharded_infer(apply_fn, mesh, axis=None):
     return jax.jit(sharded)
 
 
+_INFER_CACHE = {}
+
+
 def sharded_predict(apply_fn, mesh, variables, images, axis=None):
     """One-shot helper: pads the batch to the mesh size, runs the shard_map
-    forward, strips the padding."""
+    forward, strips the padding.
+
+    The jitted shard_map forward is cached per (apply_fn, mesh, axis) —
+    rebuilding it per call would retrace and recompile every time (a new
+    program through the axon relay is minutes, CLAUDE.md)."""
     axis = axis or mesh.axis_names[0]
     n = mesh.devices.size
+    images = jnp.asarray(images)
     b = images.shape[0]
     target = ((b + n - 1) // n) * n
     if target != b:
-        pad = np.zeros((target - b,) + images.shape[1:], np.asarray(images).dtype)
-        images = jnp.concatenate([jnp.asarray(images), jnp.asarray(pad)])
-    fn = make_sharded_infer(apply_fn, mesh, axis)
+        pad = jnp.zeros((target - b,) + images.shape[1:], images.dtype)
+        images = jnp.concatenate([images, pad])
+    key = (apply_fn, mesh, axis)
+    fn = _INFER_CACHE.get(key)
+    if fn is None:
+        fn = _INFER_CACHE[key] = make_sharded_infer(apply_fn, mesh, axis)
     with mesh:
-        out = fn(variables, jnp.asarray(images))
+        out = fn(variables, images)
     return np.asarray(out)[:b]

@@ -85,6 +85,9 @@ def prefetch_to_device(iterator, size=2, mesh=None, axis=None):
     Eagerly issues `size` device transfers ahead of consumption so H2D copies
     overlap with the previous step's compute.
     """
+    # guard against re-iterable sequences: islice on a list would restart
+    # from index 0 every enqueue, yielding the first batch forever
+    iterator = iter(iterator)
     queue = collections.deque()
 
     def _put(v):

@@ -72,7 +72,13 @@ def run(tile, confusion_path, overlay_bounds=None, iteration=0, year=None, seed=
     rng = np.random.RandomState(seed if seed is not None else iteration)
     taxa_col = "ensembleTaxonID" if "ensembleTaxonID" in predicted.columns else "ensembleTa"
     taxa = predicted[taxa_col].astype(str)
-    keep = sample_binomial(predicted.get("ens_score"), rng).astype(bool)
+    scores = predicted.get("ens_score")
+    if scores is None:
+        # shapefiles without scores keep every label (a None would yield a
+        # length-0 draw and zip-truncate the whole tile to zero counts)
+        keep = np.ones(len(predicted), bool)
+    else:
+        keep = sample_binomial(scores, rng).astype(bool)
 
     sampled = [
         t if k else label_names.get(sample_confusion(t, confusion, rng), t)

@@ -211,13 +211,17 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
         # and half the host->device transfer of a float32 tile; the window
         # min-max runs exactly on integer input (ops.preprocess)
         host_tiles[year] = np.ascontiguousarray(np.moveaxis(arr, 0, -1))
+        from deeptreeattention_tpu.geo.affine import window_from_bounds
+
+        # the SAME Window.round() math as the crop-file path (crops.crop ->
+        # read_bounds): floor(rowcol) differences are 1 px smaller per axis
+        # for about half of real fractional-bound crowns
         rect = []
         for g in crowns.geometry:
             left, bottom, right, top = g.bounds
-            r0, c0 = t.rowcol(left, top)
-            r1, c1 = t.rowcol(right, bottom)
-            rect.append((min(r0, r1), min(c0, c1),
-                         max(abs(r1 - r0), 1), max(abs(c1 - c0), 1)))
+            win = window_from_bounds(left, bottom, right, top, t).round()
+            rect.append((win.row_off, win.col_off,
+                         max(win.height, 1), max(win.width, 1)))
         bounds_px[year] = np.asarray(rect, np.int32)
 
     def year_images(tile, rect):
