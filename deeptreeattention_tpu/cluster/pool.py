@@ -62,7 +62,10 @@ class LocalClient:
         concurrent.futures.wait([f._inner for f in futures], timeout=timeout)
         return futures
 
-    def gather(self, futures, skip_errors=True):
+    def gather(self, futures, skip_errors=False):
+        """dask semantics by default: a failed task raises (len(out) ==
+        len(futures) is guaranteed); skip_errors=True opts into the
+        reference pipeline's log-and-continue behavior."""
         self.wait(futures)
         out = []
         for f in futures:

@@ -36,6 +36,19 @@ def rgb_transform(image, size=224):
     return x
 
 
+def rgb_transform_np(image, size=224):
+    """numpy twin of rgb_transform for the host data path — a per-item jnp
+    call would round-trip every crop through the (remote) device."""
+    x = np.asarray(image, np.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    if x.shape[0] != size or x.shape[1] != size:
+        h, w = x.shape[0], x.shape[1]
+        rows = (np.arange(size) * h) // size
+        cols = (np.arange(size) * w) // size
+        x = x[rows[:, None], cols[None, :], :]
+    return np.ascontiguousarray(x)
+
+
 @jax.jit
 def _dead_windows(tile, rect):
     """Crown windows gathered from a device-resident RGB tile, boundless
@@ -93,7 +106,7 @@ class FolderDataset:
 
         path, label = self.samples[index]
         img = np.asarray(Image.open(path).convert("RGB"))
-        x = np.asarray(rgb_transform(img, self.size))
+        x = rgb_transform_np(img, self.size)
         if self.augment and self.rng.rand() < 0.5:
             x = x[:, ::-1, :]
         return os.path.basename(path), x, label
@@ -138,7 +151,7 @@ class UTMDataset:
         src = self._src(row["RGB_tile"])
         img = src.read_bounds(left - 1, bottom - 1, right + 1, top + 1, boundless=True)
         img = np.moveaxis(img, 0, -1)
-        return row.get("individual", str(index)), np.asarray(rgb_transform(img, self.size))
+        return row.get("individual", str(index)), rgb_transform_np(img, self.size)
 
 
 class AliveDead:
@@ -211,7 +224,9 @@ class AliveDead:
         val_ds = self._folder("test", augment=False)
         history = []
         for epoch in range(epochs):
-            losses = []
+            # device-side loss accumulation: ONE host sync per epoch (a
+            # per-step float() is a relay round trip per step)
+            loss_sum, n_batches = jnp.float32(0.0), 0
             for bi, (names, xs, ys) in enumerate(
                 self._batches(train_ds, cfg["batch_size"], shuffle=True, seed=epoch)
             ):
@@ -224,11 +239,13 @@ class AliveDead:
                     jnp.ones(2),
                 )
                 self.variables = {"params": params, "batch_stats": stats}
-                losses.append(float(loss))
+                loss_sum = loss_sum + loss
+                n_batches += 1
             val = self.validate(val_ds)
             new_lr = self.scheduler.step(val["val_loss"])
             self.opt_state = optim.set_learning_rate(self.opt_state, new_lr)
-            rec = {"epoch": epoch, "train_loss": float(np.mean(losses)), **val}
+            rec = {"epoch": epoch,
+                   "train_loss": float(loss_sum) / max(n_batches, 1), **val}
             if experiment:
                 experiment.log_metrics(rec, epoch=epoch)
             history.append(rec)

@@ -135,7 +135,8 @@ class MetadataModel(treemodel.TreeModel):
         for epoch in range(epochs):
             loader = Loader(train_ds, cfg["batch_size"], shuffle=True, seed=epoch,
                             pad_to_batch=cfg.get("pad_batches", True))
-            losses = []
+            # device-side loss accumulation, one host sync per epoch
+            loss_sum, n_batches = jnp.float32(0.0), 0
             for bi, batch in enumerate(self._iter_batches(loader)):
                 if fast_dev_run and bi > 0:
                     break
@@ -150,8 +151,10 @@ class MetadataModel(treemodel.TreeModel):
                     self.loss_weight, rng,
                 )
                 self.variables = {"params": params, "batch_stats": stats}
-                losses.append(float(loss))
-            history.append({"epoch": epoch, "train_loss": float(np.mean(losses))})
+                loss_sum = loss_sum + loss
+                n_batches += 1
+            history.append({"epoch": epoch,
+                            "train_loss": float(loss_sum) / max(n_batches, 1)})
         return history
 
     def predict(self, inputs):

@@ -134,6 +134,9 @@ class MultiStage:
         d2 = df[~df.taxonID.isin(CONIFERS + [PINE_GATE])].copy()
         is_oak = d2.taxonID.str.contains("QU")
         if train:
+            # NOTE: the oak cap counts ROWS (not individuals) on both sides,
+            # unlike L1/L4's per-individual dedup — this mirrors the
+            # reference exactly (src/models/multi_stage.py:155-158)
             non_oak_ids = d2[~is_oak].individual
             oak_cap = max(int(len(non_oak_ids) / 5), 1)
             oak_keep = (
@@ -176,7 +179,22 @@ class MultiStage:
             d4 = d4[d4.individual.isin(keep)].reset_index(drop=True)
         d4["label"] = d4.taxonID.map(self.level_label_dicts[4])
         frames.append(d4)
-        return frames
+
+        # level dicts are built from TRAIN species; a test-only species maps
+        # to NaN and would crash the int32 label cast in the Loader — drop
+        # such rows loudly (they cannot be scored at that level)
+        out = []
+        for i, d in enumerate(frames):
+            missing = d.label.isna()
+            if missing.any():
+                log.warning(
+                    "level %d: dropping %d rows whose taxa are outside the "
+                    "level dict (species absent from training)",
+                    i, int(missing.sum()),
+                )
+                d = d[~missing].reset_index(drop=True)
+            out.append(d)
+        return out
 
     def create_datasets(self):
         species = list(self.species_label_dict.keys())
@@ -327,6 +345,7 @@ class MultiStage:
             restored = MultiStage.load_from_checkpoint(resume_from, config=cfg)
             self.variables = restored.variables
             self.schedulers = restored.schedulers
+            self.opt_states = restored.opt_states  # Adam moments + current lr
             _, meta = checkpoints.load_checkpoint(resume_from)
             start_epoch = int(meta.get("epoch", -1)) + 1
             log.info("resumed from %s at epoch %d", resume_from, start_epoch)
@@ -592,9 +611,17 @@ class MultiStage:
     # checkpointing
     # ------------------------------------------------------------------
     def save_checkpoint(self, path):
+        from flax import serialization
+
         tree = {
             "levels": {str(i): self.variables[i] for i in range(self.levels)},
             "loss_weights": {str(i): self.loss_weights[i] for i in range(self.levels)},
+            # Adam moments + injected lr — without them a resumed run steps a
+            # converged model with zeroed moments at the base config lr
+            "opt_states": {
+                str(i): serialization.to_state_dict(self.opt_states[i])
+                for i in range(self.levels)
+            },
         }
         meta = {
             "years": [str(y) for y in self.years],
@@ -656,11 +683,21 @@ class MultiStage:
             obj.models.append(model)
             obj.variables.append(variables)
             obj.optimizers.append(optimizer)
-            obj.opt_states.append(optimizer.init(variables["params"]))
+            opt_state = optimizer.init(variables["params"])
+            saved_opt = tree.get("opt_states", {}).get(str(level))
             sched = optim.ReduceLROnPlateau(lr)
             state = meta.get("scheduler_state")
             if state:
                 sched.load_state_dict(state[level])
+            if saved_opt is not None:
+                from flax import serialization
+
+                opt_state = serialization.from_state_dict(opt_state, saved_opt)
+            else:
+                # pre-opt-state checkpoint: at least resume at the
+                # scheduler's current lr, not the base config lr
+                opt_state = optim.set_learning_rate(opt_state, sched.lr)
+            obj.opt_states.append(opt_state)
             obj.schedulers.append(sched)
             obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
             obj._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))

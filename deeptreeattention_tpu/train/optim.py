@@ -72,6 +72,12 @@ class ReduceLROnPlateau:
 
 
 def set_learning_rate(opt_state, lr):
-    """Write the injected hyperparameter in an inject_hyperparams state."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Write the injected hyperparameter in an inject_hyperparams state.
+
+    Stored as a strong-typed f32 array: a Python float would change the jit
+    signature of every step consuming the state (weak-typed scalar) and
+    silently recompile after the first scheduler update."""
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state

@@ -93,7 +93,13 @@ class Experiment:
         if image_data is not None and hasattr(image_data, "shape"):
             np.save(path, np.asarray(image_data))
         elif isinstance(image_data, str) and os.path.exists(image_data):
-            path = image_data
+            # copy into the experiment dir — the source is often a temp file
+            # (e.g. visualize.plot_crown) that gets reaped
+            import shutil
+
+            path = os.path.join(self.dir, safe + os.path.splitext(image_data)[1])
+            if os.path.abspath(image_data) != os.path.abspath(path):
+                shutil.copyfile(image_data, path)
         return {"imageId": safe, "path": path}
 
     def log_confusion_matrix(self, y_true=None, y_pred=None, labels=None, **kwargs):

@@ -65,7 +65,10 @@ def confusion_matrix(comet_experiment, results, species_label_dict, test=None,
                      test_points=None, test_crowns=None, rgb_pool=None,
                      max_examples=0):
     """Log the label confusion matrix; optionally attach crown example plots."""
-    labels = list(species_label_dict.keys())
+    # axis labels ordered by LABEL VALUE: the matrix is indexed by the int
+    # labels, and dict insertion order (train_df appearance) need not match
+    index_to_label = {v: k for k, v in species_label_dict.items()}
+    labels = [index_to_label[i] for i in range(len(index_to_label))]
     out = comet_experiment.log_confusion_matrix(
         results.label.values.astype(int),
         results.pred_label_top1.values.astype(int),

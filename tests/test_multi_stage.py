@@ -95,3 +95,37 @@ def test_checkpoint_roundtrip(m, dm, config, tmp_path):
     for (ia, pa), (ib, pb) in zip(a, b):
         for la, lb in zip(pa, pb):
             np.testing.assert_allclose(la, lb, atol=1e-6)
+
+
+def test_checkpoint_restores_optimizer_state(m, config, tmp_path):
+    """Adam moments and the scheduler-reduced learning rate survive a
+    checkpoint round-trip (exact mid-training recovery)."""
+    import jax
+
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    # simulate a plateau reduction and some training history
+    for level in range(m.levels):
+        m.schedulers[level].lr = m.schedulers[level].lr * 0.5
+        m.opt_states[level] = __import__(
+            "deeptreeattention_tpu.train.optim", fromlist=["optim"]
+        ).set_learning_rate(m.opt_states[level], m.schedulers[level].lr)
+    path = m.save_checkpoint(str(tmp_path / "opt_ckpt"))
+
+    loaded = MultiStage.load_from_checkpoint(path, config=config)
+    for level in range(m.levels):
+        orig = jax.tree_util.tree_leaves(m.opt_states[level])
+        rest = jax.tree_util.tree_leaves(loaded.opt_states[level])
+        assert len(orig) == len(rest)
+        for a, b in zip(orig, rest):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+        assert float(
+            loaded.opt_states[level].hyperparams["learning_rate"]
+        ) == pytest.approx(m.schedulers[level].lr)
+
+    # restore the session-scoped fixture's lr state
+    for level in range(m.levels):
+        m.schedulers[level].lr = m.schedulers[level].lr * 2.0
+        m.opt_states[level] = __import__(
+            "deeptreeattention_tpu.train.optim", fromlist=["optim"]
+        ).set_learning_rate(m.opt_states[level], m.schedulers[level].lr)
