@@ -25,6 +25,11 @@ def tile_counts(tile, overlay_bounds=None, year=None):
         gdf = gdf[gdf.tile_year.astype(str) == str(year)]
     if overlay_bounds:
         boundary = vector.read_file(overlay_bounds)
+        # clip is raw coordinate intersection — align CRS first (as
+        # predict/multinomial.run does) or a lat/long boundary silently
+        # zeroes every count
+        if boundary.crs and gdf.crs and boundary.crs != gdf.crs:
+            boundary = boundary.to_crs(epsg=gdf.crs)
         gdf = vector.clip(gdf, boundary)
     col = "ensembleTaxonID" if "ensembleTaxonID" in gdf.columns else "ensembleTa"
     return gdf[col].value_counts()
@@ -37,8 +42,8 @@ def run_experiment(experiment_key, shp_dir, overlay_bounds=None, year=None, clie
             client.submit(tile_counts, t, overlay_bounds=overlay_bounds, year=year)
             for t in tiles
         ]
-        client.wait(futures)
-        results = [f.result() for f in futures if f.exception() is None]
+        # logged skip-on-error: silent drops would undercount abundance
+        results = client.gather(futures, skip_errors=True)
     else:
         results = [tile_counts(t, overlay_bounds, year) for t in tiles]
     total = pd.Series(dtype=float)
@@ -56,6 +61,9 @@ def main():
             os.path.basename(d)
             for d in glob.glob(os.path.join(results_dir, "*"))
             if os.path.isdir(d) and glob.glob(os.path.join(d, "*.shp"))
+            # predict.py's crown shapefiles / crop sidecars are pipeline
+            # artifacts, not model replicates
+            and os.path.basename(d) not in ("crowns", "crops")
         ]
     client = cluster.start(cpus=config.get("workers", 4))
     rows = []

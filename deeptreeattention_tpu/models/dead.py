@@ -364,10 +364,13 @@ class AliveDead:
             outs.append(np.asarray(self.predict_batch(xs, use_batch_stats=use_batch_stats)))
         return np.concatenate(outs) if outs else np.zeros((0, 2))
 
-    def dataset_confusion(self, ds, batch_size=8):
+    def dataset_confusion(self, ds, batch_size=8, use_batch_stats=False):
+        """use_batch_stats=True scores with the production (train-mode BN)
+        semantics — thresholds read off curves built from these scores then
+        match what predict_dead actually produces."""
         true, pred = [], []
         for names, xs, ys in self._batches(ds, batch_size):
-            probs = np.asarray(self.predict_batch(xs))
+            probs = np.asarray(self.predict_batch(xs, use_batch_stats=use_batch_stats))
             pred.append(probs)
             true.append(np.eye(2)[ys])
         return np.concatenate(true), np.concatenate(pred)

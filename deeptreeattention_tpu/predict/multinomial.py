@@ -52,8 +52,8 @@ def sample_confusion(taxon, confusion, rng):
     return int(np.argmax(rng.multinomial(1, row)))
 
 
-def run(tile, confusion_path, overlay_bounds=None, iteration=0, year=None, seed=None):
-    """One tile, one permutation -> per-species crown counts Series."""
+def _load_tile_arrays(tile, overlay_bounds=None, year=None):
+    """(taxa [N] str array, scores [N] or None) for one predicted tile."""
     predicted = vector.read_file(tile)
     if year is not None and "tile_year" in predicted.columns:
         predicted = predicted[predicted.tile_year.astype(str) == str(year)]
@@ -63,28 +63,94 @@ def run(tile, confusion_path, overlay_bounds=None, iteration=0, year=None, seed=
             boundary = boundary.to_crs(epsg=predicted.crs)
         predicted = vector.clip(predicted, boundary)
     if predicted.empty:
-        return pd.Series(dtype=float)
+        return None, None
+    taxa_col = "ensembleTaxonID" if "ensembleTaxonID" in predicted.columns else "ensembleTa"
+    scores = predicted.get("ens_score")
+    return predicted[taxa_col].astype(str).values, (
+        None if scores is None else np.asarray(scores)
+    )
 
-    confusion = load_confusion(confusion_path)
+
+def _permute(taxa, scores, confusion, rng):
+    """One permutation over preloaded tile arrays -> counts Series."""
     label_names = {i: t for i, t in enumerate(confusion.keys())}
     label_names["DEAD"] = "DEAD"
-
-    rng = np.random.RandomState(seed if seed is not None else iteration)
-    taxa_col = "ensembleTaxonID" if "ensembleTaxonID" in predicted.columns else "ensembleTa"
-    taxa = predicted[taxa_col].astype(str)
-    scores = predicted.get("ens_score")
     if scores is None:
         # shapefiles without scores keep every label (a None would yield a
         # length-0 draw and zip-truncate the whole tile to zero counts)
-        keep = np.ones(len(predicted), bool)
+        keep = np.ones(len(taxa), bool)
     else:
         keep = sample_binomial(scores, rng).astype(bool)
-
     sampled = [
         t if k else label_names.get(sample_confusion(t, confusion, rng), t)
         for t, k in zip(taxa, keep)
     ]
     return pd.Series(sampled).value_counts()
+
+
+def run(tile, confusion_path, overlay_bounds=None, iteration=0, year=None, seed=None):
+    """One tile, one permutation -> per-species crown counts Series."""
+    taxa, scores = _load_tile_arrays(tile, overlay_bounds=overlay_bounds, year=year)
+    if taxa is None:
+        return pd.Series(dtype=float)
+    confusion = load_confusion(confusion_path)
+    rng = np.random.RandomState(seed if seed is not None else iteration)
+    return _permute(taxa, scores, confusion, rng)
+
+
+def run_tile_permutations(tile, confusion_path, iterations, overlay_bounds=None,
+                          year=None, seed0=0):
+    """Load the tile ONCE and draw `iterations` permutations — identical
+    output to `iterations` calls of run() (same per-iteration seeds) at
+    ~1/iterations of the shapefile/CSV IO."""
+    taxa, scores = _load_tile_arrays(tile, overlay_bounds=overlay_bounds, year=year)
+    if taxa is None:
+        return [pd.Series(dtype=float)] * iterations
+    confusion = load_confusion(confusion_path)
+    return [
+        _permute(taxa, scores, confusion, np.random.RandomState(seed0 + it))
+        for it in range(iterations)
+    ]
+
+
+def wrapper_all(client, n_permutations, experiment_key, shp_dir, savedir,
+                confusion_path, overlay_bounds=None, year=None):
+    """All permutations of all tiles, tile-major: each worker loads its tile
+    once and draws every permutation in memory, then totals combine per
+    iteration. Output files identical to n_permutations wrapper() calls."""
+    tiles = glob.glob(os.path.join(shp_dir, experiment_key, "*_image*.shp"))
+    if client is not None:
+        futures = [
+            client.submit(run_tile_permutations, tile=t,
+                          confusion_path=confusion_path,
+                          iterations=n_permutations,
+                          overlay_bounds=overlay_bounds, year=year)
+            for t in tiles
+        ]
+        per_tile = client.gather(futures, skip_errors=True)
+    else:
+        per_tile = []
+        for t in tiles:
+            try:
+                per_tile.append(run_tile_permutations(
+                    tile=t, confusion_path=confusion_path,
+                    iterations=n_permutations,
+                    overlay_bounds=overlay_bounds, year=year))
+            except Exception as e:
+                log.warning("tile %s failed: %s", t, e)
+
+    out_dir = os.path.join(savedir, experiment_key)
+    os.makedirs(out_dir, exist_ok=True)
+    totals = []
+    for it in range(n_permutations):
+        total = pd.Series(dtype=float)
+        for series_list in per_tile:
+            total = total.add(series_list[it], fill_value=0)
+        total.sort_values().to_csv(
+            os.path.join(out_dir, "multinomial_permutation_{}.csv".format(it))
+        )
+        totals.append(total)
+    return totals
 
 
 def wrapper(client, iteration, experiment_key, shp_dir, savedir,

@@ -24,10 +24,10 @@ from deeptreeattention_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
-def predict_crowns(path, detector=None):
+def predict_crowns(path, detector=None, config=None):
     """Detect crowns over a whole RGB tile -> UTM crown GeoDataFrame with the
     pipeline's schema columns."""
-    detector = detector or detection.load_detector()
+    detector = detector or detection.load_detector(config)
     boxes = detector.predict_tile(path)
     if boxes is None or boxes.empty:
         return None
@@ -56,7 +56,7 @@ def predict_crowns(path, detector=None):
 
 def find_crowns(rgb_path, config, dead_model_path=None, detector=None, dead_model=None):
     """Crown detection + CHM filter + alive/dead scoring for one tile."""
-    crowns = predict_crowns(rgb_path, detector=detector)
+    crowns = predict_crowns(rgb_path, detector=detector, config=config)
     if crowns is None:
         return None
     crowns["tile"] = rgb_path
@@ -113,6 +113,10 @@ def generate_prediction_crops(crowns, config, client=None, as_numpy=True):
         client=client,
         as_numpy=as_numpy,
     )
+    if annotations is None or len(annotations) == 0:
+        # no HSI coverage for this tile's geo-index: nothing to crop
+        log.warning("no prediction crops generated (no HSI tile coverage?)")
+        return None
     rgb_path = annotations.RGB_tile.unique()[0]
     basename = os.path.splitext(os.path.basename(rgb_path))[0]
     annotations = vector.GeoDataFrame(annotations, crs=getattr(crowns, "crs", None))

@@ -132,6 +132,12 @@ class TeeExperiment:
 
     def __getattr__(self, name):
         if not name.startswith("log_") and name not in ("add_tag", "set_step", "end"):
+            # plain attributes (dir, get_key, ...) resolve from the primary
+            # (local) experiment so entry scripts work identically with or
+            # without a live comet sink
+            for exp in self.experiments:
+                if hasattr(exp, name):
+                    return getattr(exp, name)
             raise AttributeError(name)
 
         def fanout(*args, **kwargs):

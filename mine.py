@@ -54,8 +54,8 @@ def main():
         client.submit(mine_tile, t, savedir, n_crops=per_tile, seed=i)
         for i, t in enumerate(tiles)
     ]
-    client.wait(futures)
-    files = [fn for f in futures if f.exception() is None for fn in f.result()]
+    results = client.gather(futures, skip_errors=True)  # logged skip-on-error
+    files = [fn for r in results for fn in r]
     pd.DataFrame({"image_path": [os.path.basename(f) for f in files]}).to_csv(
         os.path.join(savedir, "mined.csv"), index=False
     )

@@ -30,7 +30,13 @@ def find_rgb_files(site, config, year="2021", bounds=OSBS_BOUNDS):
     tiles = glob.glob(config["rgb_sensor_pool"], recursive=True)
     tiles = [x for x in tiles if site in x and "neon-aop-products" not in x]
     if year:
-        tiles = [x for x in tiles if "/{}/".format(year) in x or "_{}".format(year) in x]
+        # anchored match: a bare "_{year}" substring can hit tile eastings
+        tiles = [
+            x for x in tiles
+            if "/{}/".format(year) in x
+            or os.path.basename(x).startswith("{}_".format(year))
+            or os.path.splitext(os.path.basename(x))[0].endswith("_{}".format(year))
+        ]
     if not bounds:
         return tiles
     out = []
@@ -68,7 +74,18 @@ def main():
                            bounds=None if site != "OSBS" else OSBS_BOUNDS)
     log.info("%d RGB tiles for %s", len(tiles), site)
 
-    # Step 1: crowns + prediction crops per tile (idempotent)
+    # Step 1: crowns + prediction crops per tile (idempotent). The dead
+    # model and detector load ONCE — per-tile load_from_checkpoint would
+    # rebuild their jitted steps and recompile per tile (minutes each
+    # through the relay).
+    from deeptreeattention_tpu.data import detection
+    from deeptreeattention_tpu.models import dead as dead_mod
+
+    detector = detection.load_detector(config)
+    dead_model = (
+        dead_mod.AliveDead.load_from_checkpoint(dead_model_path, config=config)
+        if dead_model_path else None
+    )
     crown_annotation_paths = []
     for x in tiles:
         basename = os.path.splitext(os.path.basename(x))[0]
@@ -76,7 +93,8 @@ def main():
         if not os.path.exists(shpname):
             try:
                 crowns = predict_api.find_crowns(
-                    rgb_path=x, config=config, dead_model_path=dead_model_path
+                    rgb_path=x, config=config, detector=detector,
+                    dead_model=dead_model,
                 )
                 if crowns is None:
                     continue
@@ -87,12 +105,19 @@ def main():
                 continue
         crops_shp = os.path.join(config["prediction_crop_dir"], "{}.shp".format(basename))
         if not os.path.exists(crops_shp):
-            from deeptreeattention_tpu.geo import vector
+            try:
+                from deeptreeattention_tpu.geo import vector
 
-            crowns = vector.read_file(shpname)
-            crops_shp = predict_api.generate_prediction_crops(
-                crowns, config, client=client, as_numpy=True
-            )
+                crowns = vector.read_file(shpname)
+                crops_shp = predict_api.generate_prediction_crops(
+                    crowns, config, client=client, as_numpy=True
+                )
+            except Exception:
+                traceback.print_exc()
+                log.warning("%s failed to generate prediction crops", shpname)
+                continue
+            if crops_shp is None:
+                continue
         crown_annotation_paths.append(crops_shp)
 
     # Step 2: every species model x every tile (idempotent)

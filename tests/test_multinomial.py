@@ -73,3 +73,23 @@ def test_wrapper_writes_csv(tile_shp, confusion_csv, tmp_path):
     )
     assert total.sum() == 50
     assert os.path.exists(os.path.join(str(tmp_path), "exp1", "multinomial_permutation_0.csv"))
+
+
+def test_wrapper_all_matches_per_iteration(tile_shp, confusion_csv, tmp_path):
+    """Tile-major wrapper_all (one tile load, all permutations) writes the
+    same per-permutation totals as sequential wrapper() calls."""
+    shp_dir, key = os.path.split(os.path.dirname(tile_shp))
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    n = 4
+    for it in range(n):
+        multinomial.wrapper(client=None, iteration=it, experiment_key=key,
+                            shp_dir=shp_dir, savedir=out_a,
+                            confusion_path=confusion_csv)
+    multinomial.wrapper_all(client=None, n_permutations=n, experiment_key=key,
+                            shp_dir=shp_dir, savedir=out_b,
+                            confusion_path=confusion_csv)
+    for it in range(n):
+        a = pd.read_csv(os.path.join(out_a, key, "multinomial_permutation_{}.csv".format(it)))
+        b = pd.read_csv(os.path.join(out_b, key, "multinomial_permutation_{}.csv".format(it)))
+        pd.testing.assert_frame_equal(a, b)

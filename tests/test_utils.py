@@ -112,6 +112,9 @@ def test_tee_experiment(tmp_path):
     for exp in (a, b):
         assert os.path.exists(os.path.join(exp.dir, "metrics.jsonl"))
     assert tee.get_key() == a.get_key()
+    # plain attributes resolve from the primary experiment (train.py logs
+    # experiment.dir at the end of a run)
+    assert tee.dir == a.dir
 
 
 def test_profiler_trace_smoke(tmp_path):
