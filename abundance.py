@@ -57,13 +57,20 @@ def main():
     results_dir = config.get("results_dir", "results")
     keys = config.get("experiment_keys")
     if not keys:
+        # predict.py's crown shapefiles (results_dir/crowns) and the crop
+        # sidecar dir (config prediction_crop_dir) are pipeline artifacts,
+        # not model replicates
+        artifacts = {
+            "crowns",
+            os.path.basename(
+                os.path.normpath(config.get("prediction_crop_dir", "results/crops"))
+            ),
+        }
         keys = [
             os.path.basename(d)
             for d in glob.glob(os.path.join(results_dir, "*"))
             if os.path.isdir(d) and glob.glob(os.path.join(d, "*.shp"))
-            # predict.py's crown shapefiles / crop sidecars are pipeline
-            # artifacts, not model replicates
-            and os.path.basename(d) not in ("crowns", "crops")
+            and os.path.basename(d) not in artifacts
         ]
     client = cluster.start(cpus=config.get("workers", 4))
     rows = []

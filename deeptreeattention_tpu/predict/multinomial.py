@@ -117,7 +117,19 @@ def wrapper_all(client, n_permutations, experiment_key, shp_dir, savedir,
                 confusion_path, overlay_bounds=None, year=None):
     """All permutations of all tiles, tile-major: each worker loads its tile
     once and draws every permutation in memory, then totals combine per
-    iteration. Output files identical to n_permutations wrapper() calls."""
+    iteration. Output files identical to n_permutations wrapper() calls.
+
+    Idempotent at whole-run granularity: if every permutation csv already
+    exists the run is skipped (seeded draws make the existing files valid)."""
+    out_dir = os.path.join(savedir, experiment_key)
+    expected = [
+        os.path.join(out_dir, "multinomial_permutation_{}.csv".format(it))
+        for it in range(n_permutations)
+    ]
+    if expected and all(os.path.exists(p) for p in expected):
+        log.info("all %d permutation files exist in %s — skipping",
+                 n_permutations, out_dir)
+        return None
     tiles = glob.glob(os.path.join(shp_dir, experiment_key, "*_image*.shp"))
     if client is not None:
         futures = [

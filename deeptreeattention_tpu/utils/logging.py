@@ -131,6 +131,8 @@ class TeeExperiment:
         self.experiments = [e for e in experiments if e is not None]
 
     def __getattr__(self, name):
+        if name == "experiments":  # not yet set (e.g. mid-unpickle): no recursion
+            raise AttributeError(name)
         if not name.startswith("log_") and name not in ("add_tag", "set_step", "end"):
             # plain attributes (dir, get_key, ...) resolve from the primary
             # (local) experiment so entry scripts work identically with or

@@ -30,10 +30,13 @@ def find_rgb_files(site, config, year="2021", bounds=OSBS_BOUNDS):
     tiles = glob.glob(config["rgb_sensor_pool"], recursive=True)
     tiles = [x for x in tiles if site in x and "neon-aop-products" not in x]
     if year:
-        # anchored match: a bare "_{year}" substring can hit tile eastings
+        # anchored in the BASENAME (a bare "_{year}" substring can hit tile
+        # eastings); directory components may carry the year loosely
+        # (".../2021/", ".../site_2021/")
         tiles = [
             x for x in tiles
             if "/{}/".format(year) in x
+            or "_{}".format(year) in os.path.dirname(x)
             or os.path.basename(x).startswith("{}_".format(year))
             or os.path.splitext(os.path.basename(x))[0].endswith("_{}".format(year))
         ]
@@ -81,17 +84,26 @@ def main():
     from deeptreeattention_tpu.data import detection
     from deeptreeattention_tpu.models import dead as dead_mod
 
-    detector = detection.load_detector(config)
-    dead_model = (
-        dead_mod.AliveDead.load_from_checkpoint(dead_model_path, config=config)
-        if dead_model_path else None
-    )
+    _models = {}
+
+    def step1_models():
+        # lazy: a fully-cached step 1 (all crown shapefiles exist) must not
+        # pay the model loads / jit-step builds
+        if "detector" not in _models:
+            _models["detector"] = detection.load_detector(config)
+            _models["dead"] = (
+                dead_mod.AliveDead.load_from_checkpoint(dead_model_path, config=config)
+                if dead_model_path else None
+            )
+        return _models["detector"], _models["dead"]
+
     crown_annotation_paths = []
     for x in tiles:
         basename = os.path.splitext(os.path.basename(x))[0]
         shpname = os.path.join(crowns_dir, "{}.shp".format(basename))
         if not os.path.exists(shpname):
             try:
+                detector, dead_model = step1_models()
                 crowns = predict_api.find_crowns(
                     rgb_path=x, config=config, detector=detector,
                     dead_model=dead_model,

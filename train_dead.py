@@ -25,7 +25,9 @@ def main():
     # (train-mode BN) semantics so config["dead_threshold"] read off this
     # curve matches predict_dead's score distribution
     val_ds = model._folder("test", augment=False)
-    true_class, predicted = model.dataset_confusion(val_ds, use_batch_stats=True)
+    true_class, predicted = model.dataset_confusion(
+        val_ds, batch_size=config["dead"]["batch_size"], use_batch_stats=True
+    )
     y_true = np.argmax(true_class, 1)
     dead_scores = predicted[:, 1]
     thresholds = np.linspace(0.05, 0.95, 19)
