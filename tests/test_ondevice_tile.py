@@ -194,3 +194,46 @@ def test_predict_species_ondevice_from_h5(m, config, fixtures_dir, tmp_path):
     np.testing.assert_allclose(
         from_tif.ens_score.astype(float), from_h5.ens_score.astype(float), atol=1e-6
     )
+
+
+def test_slab_guard_edge_overhanging_crown(m, config, fixtures_dir):
+    """A crown whose window extends past the tile bottom: slab mode equals
+    the whole-tile path when the slab reaches the tile bottom (both clamp
+    identically), and raises when it cannot."""
+    import numpy as np
+    import pytest as _pytest
+
+    from deeptreeattention_tpu.data import neon_paths
+
+    crowns = vector.GeoDataFrame(
+        pd.DataFrame({"individual": ["edge", "top"]}),
+        geometry=[
+            geometry.box(726010, 4698996, 726016, 4699004),  # overhangs bottom
+            geometry.box(726020, 4699180, 726026, 4699186),  # near the top
+        ],
+        crs=32617,
+    )
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+
+    whole = predict_api.predict_species_ondevice(crowns, tile_paths, m, config, chunk=2)
+    # per-crown chunks: the edge chunk's slab is placed at the tile bottom
+    slab = predict_api.predict_species_ondevice(
+        crowns, tile_paths, m, config, chunk=1, slab_rows=40
+    )
+    whole = whole.sort_values("individual").reset_index(drop=True)
+    slab = slab.sort_values("individual").reset_index(drop=True)
+    assert list(whole.ensembleTaxonID) == list(slab.ensembleTaxonID)
+    np.testing.assert_allclose(
+        whole.ens_score.astype(float), slab.ens_score.astype(float), atol=1e-6
+    )
+
+    # one chunk spanning both crowns cannot fit a 40-row slab -> loud error,
+    # NOT silently-clamped windows
+    with _pytest.raises(ValueError, match="slab_rows"):
+        predict_api.predict_species_ondevice(
+            crowns, tile_paths, m, config, chunk=2, slab_rows=40
+        )

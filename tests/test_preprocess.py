@@ -109,3 +109,18 @@ def test_multistage_trains_with_augmentations(dm, config):
     m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=cfg)
     history = m.fit(epochs=1, fast_dev_run=True)
     assert all(np.isfinite(history[0]["train_loss"]))
+
+
+def test_minmax_int16_wide_range_no_overflow():
+    """A pixel spanning more than 32767 counts (e.g. -32000 nodata next to
+    +10000 reflectance) must not wrap in the integer domain."""
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.ops.preprocess import minmax_scale_pixels
+
+    px = np.zeros((1, 1, 4), np.int16)
+    px[0, 0] = [-32000, 10000, 0, 5000]
+    out = np.asarray(minmax_scale_pixels(jnp.asarray(px)))
+    expected = (px[0, 0].astype(np.float64) + 32000) / 42000.0
+    np.testing.assert_allclose(out[0, 0], expected, atol=1e-6)
+    assert out.min() >= 0.0 and out.max() <= 1.0
