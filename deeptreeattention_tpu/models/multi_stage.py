@@ -282,7 +282,8 @@ class MultiStage:
             self.opt_states.append(opt_state)
             self.schedulers.append(optim.ReduceLROnPlateau(lr))
             self.loss_weights.append(lw)
-            self._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
+            self._train_steps.append(steps.make_train_step(
+                model.apply, optimizer, donate=True, remat=cfg.get("remat", False)))
             self._eval_steps.append(steps.make_eval_step(self._eval_apply(model)))
             self._val_steps.append(steps.make_loss_eval_step(model.apply))
 

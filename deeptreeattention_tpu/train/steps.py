@@ -24,29 +24,42 @@ def weighted_cross_entropy(logits, labels, class_weights=None, mask=None):
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
-def make_train_step(apply_fn, optimizer, has_batch_stats=True, donate=False):
+def make_train_step(apply_fn, optimizer, has_batch_stats=True, donate=False,
+                    remat=False):
     """Returns jit step: (params, batch_stats, opt_state, images, labels,
     mask, class_weights) -> (params, batch_stats, opt_state, loss).
 
     donate=True donates params/batch_stats/opt_state buffers to XLA so the
     update happens in place — halves the optimizer-state HBM footprint and
     lets the compiler fuse the apply-updates writes. Callers must not reuse
-    the passed-in state afterwards (the training loops reassign it)."""
+    the passed-in state afterwards (the training loops reassign it).
+
+    remat=True wraps the forward in jax.checkpoint (rematerialization):
+    activations are recomputed in the backward pass instead of stored,
+    trading ~1 extra forward of FLOPs for peak-HBM headroom — the standard
+    lever for raising batch size on memory-bound training
+    (config["remat"])."""
 
     def step(params, batch_stats, opt_state, images, labels, mask, class_weights):
-        def loss_fn(p):
+        def forward(p, stats, x):
             variables = {"params": p}
             if has_batch_stats:
-                variables["batch_stats"] = batch_stats
+                variables["batch_stats"] = stats
                 logits, mutated = apply_fn(
-                    variables, images, train=True, mutable=["batch_stats"]
+                    variables, x, train=True, mutable=["batch_stats"]
                 )
                 new_stats = mutated["batch_stats"]
             else:
-                logits = apply_fn(variables, images, train=True)
-                new_stats = batch_stats
+                logits = apply_fn(variables, x, train=True)
+                new_stats = stats
             if isinstance(logits, (list, tuple)):
                 logits = logits[-1]
+            return logits, new_stats
+
+        fwd = jax.checkpoint(forward) if remat else forward
+
+        def loss_fn(p):
+            logits, new_stats = fwd(p, batch_stats, images)
             loss = weighted_cross_entropy(logits, labels, class_weights, mask)
             return loss, new_stats
 

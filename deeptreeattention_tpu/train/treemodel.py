@@ -54,7 +54,8 @@ class TreeModel:
 
         from deeptreeattention_tpu.models import fused
 
-        self._train_step = steps.make_train_step(model.apply, self.optimizer, donate=True)
+        self._train_step = steps.make_train_step(
+            model.apply, self.optimizer, donate=True, remat=cfg.get("remat", False))
         self._eval_step = steps.make_eval_step(fused.eval_apply(model, cfg))
         self._val_step = steps.make_loss_eval_step(model.apply)
         self.metrics = M.MetricCollection(classes, top_k=cfg.get("top_k"))

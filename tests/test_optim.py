@@ -63,3 +63,35 @@ def test_checkpoint_tree_roundtrip(tmp_path):
     target = {"a": np.zeros(4, np.float32), "nested": {"b": np.zeros((2, 2), np.float32)}}
     typed, _ = checkpoints.load_checkpoint(path, target=target)
     np.testing.assert_array_equal(typed["nested"]["b"], np.ones((2, 2)))
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint rematerialization changes memory, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
+    from deeptreeattention_tpu.train import optim, steps
+
+    model = SpectralNetwork(bands=6, classes=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 11, 11, 6).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 1])
+    mask = jnp.ones(4)
+    weights = jnp.ones(3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    optimizer = optim.adam_with_plateau(1e-3)
+
+    outs = []
+    for remat in (False, True):
+        opt_state = optimizer.init(variables["params"])
+        step = steps.make_train_step(model.apply, optimizer, remat=remat)
+        params, stats, opt_state, loss = step(
+            variables["params"], variables["batch_stats"], opt_state,
+            x, labels, mask, weights,
+        )
+        outs.append((params, float(loss)))
+    (p0, l0), (p1, l1) = outs
+    assert l0 == l1
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
