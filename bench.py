@@ -32,11 +32,11 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    # Batch 8192 measures ~25% faster (620k vs 498k patches/s, docs/PERF.md)
-    # but its cold remote compile runs ~20 min and the persistent compile
-    # cache does not survive the axon remote-compile path; 4096 compiles
-    # within ~10 min, keeping the bench inside a reasonable budget.
-    BATCH = 4096
+    # Batch 8192 measures +23% over 4096 (780.8k vs 635k patches/s with the
+    # fused path, docs/PERF.md). The compilation cache at /tmp/dta_jax_cache
+    # is pre-seeded for this shape (verified to survive across processes in
+    # round 2); a cold compile worst-cases ~20 min through the relay.
+    BATCH = 8192
     ITERS = 8
 
     from deeptreeattention_tpu.models.fused import hang2020_eval
