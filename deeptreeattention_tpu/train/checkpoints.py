@@ -62,3 +62,49 @@ def _jsonable(obj):
     if isinstance(obj, np.ndarray):
         return obj.tolist()
     return obj
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional): the JAX-ecosystem standard for pod-scale and
+# async checkpointing. Same (tree, meta) contract as the msgpack backend.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path, tree, meta=None):
+    """Write tree with orbax StandardCheckpointer (+ meta.json sidecar).
+
+    Use over msgpack when running multi-host: orbax coordinates per-host
+    shards and fsyncs atomically (ocdbt)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), _to_host(tree), force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(_jsonable(meta or {}), f, indent=1)
+    return path
+
+
+def load_checkpoint_orbax(path, target=None):
+    """Returns (tree, meta) from a save_checkpoint_orbax directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            tree = ckptr.restore(
+                os.path.join(path, "state"),
+                ocp.args.StandardRestore(_to_host(target)),
+            )
+        else:
+            tree = ckptr.restore(os.path.join(path, "state"))
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def is_orbax_checkpoint(path):
+    return os.path.isdir(os.path.join(path, "state"))

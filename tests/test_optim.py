@@ -1,6 +1,7 @@
 """Plateau scheduler parity with torch.optim.lr_scheduler.ReduceLROnPlateau,
 plus checkpoint helpers and loss-weight semantics."""
 import numpy as np
+import pytest
 import torch
 
 from deeptreeattention_tpu.train import checkpoints, steps
@@ -95,3 +96,27 @@ def test_remat_train_step_matches_plain():
     assert l0 == l1
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The optional orbax backend round-trips the same (tree, meta) contract
+    as the msgpack backend (pod-scale/async checkpointing)."""
+    import numpy as np
+
+    orbax = pytest.importorskip("orbax.checkpoint")
+
+    from deeptreeattention_tpu.train import checkpoints
+
+    tree = {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                   "b": np.zeros(3, np.float32)},
+        "count": np.int32(7),
+    }
+    meta = {"epoch": 3, "years": ["2019", "2020"]}
+    path = checkpoints.save_checkpoint_orbax(str(tmp_path / "ck"), tree, meta)
+    assert checkpoints.is_orbax_checkpoint(path)
+    restored, meta2 = checkpoints.load_checkpoint_orbax(path)
+    np.testing.assert_array_equal(restored["params"]["w"], tree["params"]["w"])
+    np.testing.assert_array_equal(restored["params"]["b"], tree["params"]["b"])
+    assert int(restored["count"]) == 7
+    assert meta2["epoch"] == 3 and meta2["years"] == ["2019", "2020"]
