@@ -180,7 +180,9 @@ class AliveDead:
                 return jax.nn.sigmoid(logits), mut
             return jax.nn.sigmoid(model.apply(variables, x, train=train))
 
-        self._train_step = steps.make_train_step(apply_sigmoid, self.optimizer, donate=True)
+        self._train_step = steps.make_train_step(
+            apply_sigmoid, self.optimizer, donate=True,
+            remat=config.get("remat", False))
         self._eval_step = steps.make_eval_step(apply_sigmoid)
 
         # prediction-time quirk preserved from the reference

@@ -701,7 +701,8 @@ class MultiStage:
             obj.opt_states.append(opt_state)
             obj.schedulers.append(sched)
             obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
-            obj._train_steps.append(steps.make_train_step(model.apply, optimizer, donate=True))
+            obj._train_steps.append(steps.make_train_step(
+                model.apply, optimizer, donate=True, remat=cfg.get("remat", False)))
             obj._eval_steps.append(steps.make_eval_step(obj._eval_apply(model)))
             obj._val_steps.append(steps.make_loss_eval_step(model.apply))
         return obj

@@ -70,7 +70,7 @@ def place_batch(batch, mesh):
     return jax.tree_util.tree_map(place, batch)
 
 
-def sharded_train_step(model, optimizer):
+def sharded_train_step(model, optimizer, remat=False):
     """Same compiled step as single-chip training; shardings come from the
     placed inputs (GSPMD)."""
-    return steps.make_train_step(model.apply, optimizer)
+    return steps.make_train_step(model.apply, optimizer, remat=remat)

@@ -19,6 +19,19 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _write_meta(path, meta):
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(_jsonable(meta or {}), f, indent=1)
+
+
+def _read_meta(path):
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def save_checkpoint(path, tree, meta=None):
     """Write tree -> {path}/state.msgpack and meta -> {path}/meta.json.
 
@@ -28,8 +41,7 @@ def save_checkpoint(path, tree, meta=None):
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(_to_host(tree)))
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(_jsonable(meta or {}), f, indent=1)
+    _write_meta(path, meta)
     return path
 
 
@@ -42,12 +54,7 @@ def load_checkpoint(path, target=None):
         tree = serialization.from_bytes(target, data)
     else:
         tree = serialization.msgpack_restore(data)
-    meta_path = os.path.join(path, "meta.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return tree, meta
+    return tree, _read_meta(path)
 
 
 def _jsonable(obj):
@@ -80,8 +87,7 @@ def save_checkpoint_orbax(path, tree, meta=None):
     os.makedirs(path, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "state"), _to_host(tree), force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(_jsonable(meta or {}), f, indent=1)
+    _write_meta(path, meta)
     return path
 
 
@@ -92,18 +98,12 @@ def load_checkpoint_orbax(path, target=None):
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
-            tree = ckptr.restore(
-                os.path.join(path, "state"),
-                ocp.args.StandardRestore(_to_host(target)),
-            )
+            # StandardCheckpointer.restore wraps a bare target itself —
+            # passing StandardRestore here double-wraps and raises
+            tree = ckptr.restore(os.path.join(path, "state"), _to_host(target))
         else:
             tree = ckptr.restore(os.path.join(path, "state"))
-    meta_path = os.path.join(path, "meta.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return tree, meta
+    return tree, _read_meta(path)
 
 
 def is_orbax_checkpoint(path):

@@ -93,7 +93,7 @@ def test_remat_train_step_matches_plain():
         )
         outs.append((params, float(loss)))
     (p0, l0), (p1, l1) = outs
-    assert l0 == l1
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
@@ -120,3 +120,12 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["params"]["b"], tree["params"]["b"])
     assert int(restored["count"]) == 7
     assert meta2["epoch"] == 3 and meta2["years"] == ["2019", "2020"]
+
+    # typed restore against a target template
+    target = {
+        "params": {"w": np.zeros((2, 3), np.float32), "b": np.zeros(3, np.float32)},
+        "count": np.int32(0),
+    }
+    typed, _ = checkpoints.load_checkpoint_orbax(path, target=target)
+    np.testing.assert_array_equal(typed["params"]["w"], tree["params"]["w"])
+    assert int(typed["count"]) == 7
