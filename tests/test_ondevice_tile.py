@@ -237,3 +237,63 @@ def test_slab_guard_edge_overhanging_crown(m, config, fixtures_dir):
         predict_api.predict_species_ondevice(
             crowns, tile_paths, m, config, chunk=2, slab_rows=40
         )
+
+
+def test_all_tpu_features_combined(m, config, fixtures_dir, tmp_path):
+    """Capstone: h5-direct tile + 8-device mesh + slab streaming + fused
+    eval, all at once, equals the plain single-device whole-tile GeoTIFF
+    path."""
+    import h5py
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from deeptreeattention_tpu.data import neon_paths
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.parallel import make_mesh
+
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    rng = np.random.RandomState(3)
+    geoms, rows = [], []
+    for i in range(6):
+        x0 = 726008.0 + (i % 3) * 55 + rng.rand() * 8
+        y0 = 4699012.0 + (i // 3) * 70 + rng.rand() * 8
+        geoms.append(geometry.box(x0, y0, x0 + 4.6, y0 + 5.3))
+        rows.append({"individual": "c%02d" % i})
+    crowns = vector.GeoDataFrame(pd.DataFrame(rows), geometry=geoms, crs=32617)
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+
+    # one year re-wrapped as NEON-shaped .h5
+    year = sorted(tile_paths)[0]
+    with raster.open_raster(tile_paths[year]) as src:
+        cube = np.moveaxis(src.read(), 0, -1)
+        t = src.transform
+    h5_path = str(tmp_path / "NEON_D01_HARV_DP3_726000_4699000_reflectance.h5")
+    with h5py.File(h5_path, "w") as f:
+        g = f.create_group("HARV").create_group("Reflectance")
+        d = g.create_dataset("Reflectance_Data", data=cube,
+                             chunks=(32, 32, cube.shape[2]), compression="gzip")
+        d.attrs["Data_Ignore_Value"] = -9999.0
+        meta = f["HARV/Reflectance"].create_group("Metadata")
+        cs = meta.create_group("Coordinate_System")
+        cs.create_dataset("EPSG Code", data=np.bytes_("32617"))
+        cs.create_dataset("Map_Info", data=np.bytes_(
+            "UTM, 1, 1, {}, {}, {}, {}, 17".format(t.c, t.f, t.a, -t.e)))
+
+    plain = predict_api.predict_species_ondevice(crowns, tile_paths, m, config, chunk=4)
+
+    h5_tiles = dict(tile_paths)
+    h5_tiles[year] = h5_path
+    combined = predict_api.predict_species_ondevice(
+        crowns, h5_tiles, m, config, chunk=4, mesh=make_mesh(8), slab_rows=100
+    )
+    plain = plain.sort_values("individual").reset_index(drop=True)
+    combined = combined.sort_values("individual").reset_index(drop=True)
+    assert list(plain.ensembleTaxonID) == list(combined.ensembleTaxonID)
+    np.testing.assert_allclose(
+        plain.ens_score.astype(float), combined.ens_score.astype(float), atol=1e-5
+    )
