@@ -38,8 +38,13 @@ class Affine:
                 self.d * other.b + self.e * other.e,
                 self.d * other.c + self.e * other.f + self.f,
             )
+        # rasterio semantics: `transform * (col, row)` is the exact affine
+        # application (pixel UPPER-LEFT corner, not center)
         col, row = other
-        return self.xy(row, col)
+        return (
+            self.a * col + self.b * row + self.c,
+            self.d * col + self.e * row + self.f,
+        )
 
     def xy(self, row, col, offset="center"):
         """Pixel (row, col) -> world (x, y)."""
@@ -59,6 +64,9 @@ class Affine:
         return isinstance(other, Affine) and all(
             abs(getattr(self, k) - getattr(other, k)) < 1e-9 for k in self.__slots__
         )
+
+    def __hash__(self):  # rasterio's Affine is hashable (dict/set keys)
+        return hash(tuple(round(getattr(self, k), 9) for k in self.__slots__))
 
     def __repr__(self):
         return "Affine({}, {}, {}, {}, {}, {})".format(

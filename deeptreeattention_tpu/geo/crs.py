@@ -24,6 +24,14 @@ def utm_zone_epsg(zone, north=True):
 
 
 def parse_utm_epsg(epsg):
+    """(zone, north) for WGS84 (326xx/327xx) and NAD83 (269xx) UTM codes.
+
+    NAD83's GRS80 ellipsoid is numerically indistinguishable from WGS84 for
+    this pipeline's meter-level math (flattening differs in the 9th digit);
+    the zone geometry is what matters here. A true datum shift would need a
+    grid transformation, which no reference workflow uses."""
+    if 26901 <= int(epsg) <= 26923:
+        return int(epsg) - 26900, True
     epsg = int(epsg)
     if 32601 <= epsg <= 32660:
         return epsg - 32600, True
@@ -165,7 +173,19 @@ def epsg_from_wkt(text):
         return None
     m = re.search(r"UTM[_ ]Zone[_ ](\d+)(N|S)", text, re.IGNORECASE)
     if m:
-        return utm_zone_epsg(int(m.group(1)), m.group(2).upper() == "N")
+        zone, north = int(m.group(1)), m.group(2).upper() == "N"
+        # the datum decides the EPSG family — mapping a NAD83 zone to the
+        # WGS84 code would shift every coordinate by the ~1-2 m datum offset
+        if "NAD_1983" in text or "NAD83" in text or "North_American_1983" in text:
+            if north:
+                return 26900 + zone
+            raise ValueError("NAD83 UTM south zone has no EPSG 269xx code")
+        if "WGS" in text or "D_WGS_1984" in text or "GCS_WGS_1984" in text:
+            return utm_zone_epsg(zone, north)
+        raise ValueError(
+            "unrecognized datum for UTM zone in WKT (not WGS84/NAD83): "
+            "{}...".format(text[:80])
+        )
     m = re.search(r'AUTHORITY\["EPSG",\s*"?(\d+)"?\]\s*\]\s*$', text)
     if m:
         return int(m.group(1))

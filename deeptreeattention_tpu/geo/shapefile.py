@@ -62,6 +62,9 @@ def _read_shp(path):
             geoms.append(Point(x, y))
         elif stype in (SHP_POLYGON, 15, 25, 3, 13, 23):  # (Poly)gon/Z/M, lines
             nparts, npoints = struct.unpack("<ii", content[36:44])
+            if nparts == 0 or npoints == 0:
+                geoms.append(None)  # legal empty-geometry encoding
+                continue
             parts = struct.unpack("<" + "i" * nparts, content[44 : 44 + 4 * nparts])
             pts_off = 44 + 4 * nparts
             pts = np.frombuffer(content, "<f8", count=npoints * 2, offset=pts_off)
@@ -216,20 +219,31 @@ def _write_dbf(path, records):
         records = [{"FID": i} for i in range(len(records))]
 
     fields = []
+    used_names = set()
     for c in columns:
         vals = [r.get(c) for r in records]
         vals = [v for v in vals if v is not None and not _is_nan(v)]
         name = str(c)[:10]
+        if name in used_names:
+            # GDAL-style dedup: two columns sharing a 10-char prefix must
+            # not collapse into one field
+            for i in range(1, 100):
+                suffix = "_{}".format(i)
+                cand = str(c)[: 10 - len(suffix)] + suffix
+                if cand not in used_names:
+                    name = cand
+                    break
+        used_names.add(name)
         if all(isinstance(v, bool) for v in vals) and vals:
-            fields.append((name, "L", 1, 0))
+            fields.append((name, "L", 1, 0, c))
         elif all(isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in vals) and vals:
             width = max([len(str(int(v))) for v in vals] + [1])
-            fields.append((name, "N", min(max(width, 10), 18), 0))
+            fields.append((name, "N", min(max(width, 10), 19), 0, c))
         elif all(isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool) for v in vals) and vals:
-            fields.append((name, "N", 24, 15))
+            fields.append((name, "N", 24, 15, c))
         else:
             width = max([len(_text(v)) for v in vals] + [1])
-            fields.append((name, "C", min(max(width, 1), 254), 0))
+            fields.append((name, "C", min(max(width, 1), 254), 0, c))
 
     record_size = 1 + sum(f[2] for f in fields)
     header_size = 32 + 32 * len(fields) + 1
@@ -239,7 +253,7 @@ def _write_dbf(path, records):
         len(records), header_size, record_size,
     )
     body = b""
-    for name, ftype, flen, fdec in fields:
+    for name, ftype, flen, fdec, _src in fields:
         body += struct.pack(
             "<11sc4xBB14x", name.encode("latin-1")[:11], ftype.encode(), flen, fdec
         )
@@ -248,13 +262,8 @@ def _write_dbf(path, records):
     recs = b""
     for r in records:
         recs += b" "
-        for name, ftype, flen, fdec in fields:
-            v = None
-            for c in columns:
-                if str(c)[:10] == name:
-                    v = r.get(c)
-                    break
-            recs += _format_dbf_value(v, ftype, flen, fdec)
+        for name, ftype, flen, fdec, src in fields:
+            recs += _format_dbf_value(r.get(src), ftype, flen, fdec)
     with open(path, "wb") as f:
         f.write(header + body + recs + b"\x1a")
 
@@ -277,6 +286,10 @@ def _format_dbf_value(v, ftype, flen, fdec):
             return b" " * flen
         if fdec == 0:
             s = "{:d}".format(int(v))
+            if len(s) > flen:
+                raise ValueError(
+                    "integer {} wider than DBF field width {}".format(s, flen)
+                )
         else:
             s = "{:.{dec}f}".format(float(v), dec=fdec)
             if len(s) > flen:

@@ -67,17 +67,23 @@ def windowed_read(count, height, width, dtype, read_clamped, window,
         window = Window(0, 0, width, height)
     else:
         window = window.round()
+    def select(out):
+        if indexes is not None:
+            sel = [i - 1 for i in indexes] if not np.isscalar(indexes) else indexes - 1
+            out = out[sel]
+        return out
+
     c0, r0, w, h = window.col_off, window.row_off, window.width, window.height
     if w <= 0 or h <= 0:
-        return np.zeros((count, max(h, 0), max(w, 0)), dtype)
+        return select(np.zeros((count, max(h, 0), max(w, 0)), dtype))
 
     # clamp to image, remember padding
     rc0, cc0 = max(r0, 0), max(c0, 0)
     rc1, cc1 = min(r0 + h, height), min(c0 + w, width)
     if rc1 <= rc0 or cc1 <= cc0:
         if boundless:
-            return np.full((count, h, w), fill_value, dtype)
-        return np.zeros((count, 0, 0), dtype)
+            return select(np.full((count, h, w), fill_value, dtype))
+        return select(np.zeros((count, 0, 0), dtype))
 
     inner = read_clamped(rc0, cc0, rc1, cc1)  # [bands, ih, iw]
     if not boundless:
@@ -85,10 +91,7 @@ def windowed_read(count, height, width, dtype, read_clamped, window,
     else:
         out = np.full((count, h, w), fill_value, dtype)
         out[:, rc0 - r0 : rc1 - r0, cc0 - c0 : cc1 - c0] = inner
-    if indexes is not None:
-        sel = [i - 1 for i in indexes] if not np.isscalar(indexes) else indexes - 1
-        out = out[sel]
-    return np.ascontiguousarray(out)
+    return np.ascontiguousarray(select(out))
 
 
 class TiffReader:
@@ -138,9 +141,14 @@ class TiffReader:
         e = self._e
         if typ == 2:  # ASCII
             return data.rstrip(b"\x00").decode("latin-1")
-        if typ in (5, 10):  # RATIONAL
+        if typ in (5, 10):  # RATIONAL / SRATIONAL
             vals = struct.unpack(e + ("I" if typ == 5 else "i") * (2 * count), data)
-            return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(count)]
+            # zero denominator is spec-undefined -> NaN; negative (SRATIONAL)
+            # denominators divide normally
+            return [
+                (vals[2 * i] / vals[2 * i + 1]) if vals[2 * i + 1] else float("nan")
+                for i in range(count)
+            ]
         fmt = _TYPE_FMT.get(typ)
         if fmt is None:
             return data
@@ -227,6 +235,12 @@ class TiffReader:
         arr = arr.reshape(seg_h, seg_w, bands_in_seg)
         if self.predictor == 2:
             arr = np.cumsum(arr, axis=1, dtype=self.dtype)
+        elif self.predictor not in (1, 0):
+            # e.g. 3 = floating-point predictor: decoding without reversing
+            # it would silently return scrambled pixels
+            raise ValueError(
+                "unsupported TIFF predictor {}".format(self.predictor)
+            )
         return arr
 
     def read(self, window=None, boundless=False, fill_value=0, indexes=None):
@@ -376,7 +390,13 @@ def write_tiff(path, array, transform=None, crs=None, compress=None,
         tags.append((T_PIXEL_SCALE, 12, 3, [transform.a, -transform.e, 0.0]))
         tags.append((T_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, transform.c, transform.f, 0.0]))
     if crs:
-        geokeys = [1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, int(crs)]
+        # geographic codes (4xxx) need GeographicTypeGeoKey (2048) with
+        # model type 2; projected codes use ProjectedCSTypeGeoKey (3072)
+        geographic = 4000 <= int(crs) < 5000
+        model = 2 if geographic else 1
+        crs_key = 2048 if geographic else 3072
+        geokeys = [1, 1, 0, 3, 1024, 0, 1, model, 1025, 0, 1, 1,
+                   crs_key, 0, 1, int(crs)]
         tags.append((T_GEOKEYS, 3, len(geokeys), geokeys))
     if nodata is not None:
         nd = "{}".format(nodata).encode() + b"\x00"

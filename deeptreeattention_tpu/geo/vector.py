@@ -103,7 +103,9 @@ class GeoDataFrame(pd.DataFrame):
         gcol = self._geom_col
         attr_cols = [c for c in self.columns if c != gcol]
         for _, row in self.iterrows():
-            recs.append({str(c)[:10]: _dbf_safe(row[c]) for c in attr_cols})
+            # full names: the DBF writer truncates to 10 chars AND dedupes
+            # colliding prefixes (truncating here would collapse them)
+            recs.append({str(c): _dbf_safe(row[c]) for c in attr_cols})
         shp_io.write_shapefile(path, list(self.geometry), recs, epsg=self.crs)
         return path
 

@@ -568,7 +568,9 @@ void* dta_tiff_open(const char* path) {
   if (tags.count(34735)) {
     auto& k = tags[34735].nums;
     for (size_t i = 4; i + 3 < k.size(); i += 4) {
+      // ProjectedCSTypeGeoKey, else GeographicTypeGeoKey (4326-style files)
       if ((int)k[i] == 3072) t->epsg = (int32_t)k[i + 3];
+      else if ((int)k[i] == 2048 && t->epsg == 0) t->epsg = (int32_t)k[i + 3];
     }
   }
   if (tags.count(42113)) {

@@ -65,3 +65,78 @@ def test_sjoin_empty_layers():
     empty = vector.GeoDataFrame(pd.DataFrame({"a": []}), geometry=[], crs=32617)
     out = vector.sjoin(empty, empty)
     assert len(out) == 0
+
+
+def test_dbf_long_column_names_dedupe(tmp_path):
+    """Columns sharing a 10-char prefix keep distinct DBF fields and values."""
+    import pandas as pd
+
+    from deeptreeattention_tpu.geo import geometry, vector
+
+    gdf = vector.GeoDataFrame(
+        pd.DataFrame({"predicted_taxon": ["ACRU"], "predicted_score": [0.9]}),
+        geometry=[geometry.box(0, 0, 1, 1)], crs=32617,
+    )
+    p = str(tmp_path / "dedup.shp")
+    gdf.to_file(p)
+    back = vector.read_file(p)
+    cols = [c for c in back.columns if c.startswith("predicte")]
+    assert len(cols) == 2, back.columns
+    vals = {str(back[c].iloc[0]) for c in cols}
+    assert "ACRU" in vals
+    assert any(v.strip().startswith("0.9") for v in vals - {"ACRU"}), vals
+
+
+def test_wide_int16_predictor_rejected(tmp_path):
+    """Unknown TIFF predictors fail loudly instead of returning garbage."""
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.tiff import TiffReader
+
+    p = str(tmp_path / "p3.tif")
+    raster.write_raster(p, np.ones((1, 8, 8), np.float32), compress="deflate")
+    r = TiffReader(p)
+    r.predictor = 3  # simulate a PREDICTOR=3 file
+    with pytest.raises(ValueError, match="predictor"):
+        r.read()
+
+
+def test_nad83_prj_not_mislabelled_wgs84(tmp_path):
+    from deeptreeattention_tpu.geo.crs import epsg_from_wkt
+
+    nad = 'PROJCS["NAD_1983_UTM_Zone_17N",GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]]]]'
+    assert epsg_from_wkt(nad) == 26917
+    wgs = 'PROJCS["WGS_1984_UTM_Zone_17N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]]]]'
+    assert epsg_from_wkt(wgs) == 32617
+
+
+def test_geographic_crs_geotiff_roundtrip(tmp_path):
+    """EPSG:4326 rasters write GeographicTypeGeoKey (not a bogus projected
+    key) and read back with the right CRS."""
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import from_origin
+
+    p = str(tmp_path / "geo.tif")
+    raster.write_raster(p, np.ones((1, 4, 4), np.uint8),
+                        transform=from_origin(-80.0, 30.0, 0.01, 0.01), crs=4326)
+    with raster.open_raster(p) as src:
+        assert src.crs == 4326
+
+
+def test_degenerate_window_honors_indexes(tmp_path):
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import Window
+
+    p = str(tmp_path / "bands.tif")
+    raster.write_raster(p, np.ones((5, 8, 8), np.int16))
+    with raster.open_raster(p) as src:
+        out = src.read(window=Window(0, 0, 0, 5), indexes=[1])
+        assert out.shape == (1, 5, 0)
+        out2 = src.read(window=Window(-20, -20, 4, 4), boundless=True,
+                        indexes=[1, 2])
+        assert out2.shape == (2, 4, 4)
