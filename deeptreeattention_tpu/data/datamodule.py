@@ -139,7 +139,7 @@ class TreeData:
             client=self.client,
             replace=self.config.get("replace", True),
         )
-        annotations.to_csv(os.path.join(self.data_dir, "annotations.csv"))
+        annotations.to_csv(os.path.join(self.data_dir, "annotations.csv"), index=False)
         self._log_param("Species after crop generation", annotations.taxonID.nunique())
         self._log_param("Samples after crop generation", len(annotations))
 
@@ -159,7 +159,7 @@ class TreeData:
         novel = annotations[~annotations.individual.isin(used)]
         split_taxa = np.concatenate([self.train.taxonID.unique(), self.test.taxonID.unique()])
         self.novel = novel[~novel.taxonID.isin(split_taxa)]
-        self.novel.to_csv(os.path.join(self.data_dir, "novel_species.csv"))
+        self.novel.to_csv(os.path.join(self.data_dir, "novel_species.csv"), index=False)
 
         self._finalize_labels()
         self.train.to_csv(os.path.join(self.data_dir, "train.csv"), index=False)
@@ -179,6 +179,12 @@ class TreeData:
                 df["individual"] = df["individualID"]
         self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
         self.canopy_points = vector.read_file(os.path.join(self.data_dir, "canopy_points.shp"))
+        # the regenerate path always provides self.novel — load it from the
+        # artifact too (empty frame when the artifact predates it)
+        novel_csv = os.path.join(self.data_dir, "novel_species.csv")
+        self.novel = (
+            pd.read_csv(novel_csv) if os.path.exists(novel_csv) else pd.DataFrame()
+        )
         self._finalize_labels()
 
     def _finalize_labels(self):

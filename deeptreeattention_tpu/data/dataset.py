@@ -27,7 +27,11 @@ class TreeDataset:
         self.bands = config["bands"]
         # canonical year key is str: filenames yield "2019" while csv
         # round-trips yield ints — normalize so lookups never silently miss
-        self.annotations["tile_year"] = self.annotations.tile_year.astype(str)
+        # canonical str years; floats from pandas csv inference ('2019.0')
+        # would silently miss every lookup against '2019'
+        self.annotations["tile_year"] = self.annotations.tile_year.map(
+            lambda v: str(int(v)) if isinstance(v, float) and v == int(v) else str(v)
+        )
         # year axis: order of first appearance (reference semantics)
         if years is None:
             self.years = list(pd.unique(self.annotations.tile_year))

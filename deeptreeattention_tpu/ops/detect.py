@@ -30,10 +30,21 @@ def gaussian_kernel(sigma, truncate=4.0):
 
 
 def smooth_surface(surface, kernel):
-    """Separable reflect-padded gaussian smoothing of a [H, W] surface."""
+    """Separable gaussian smoothing of a [H, W] surface.
+
+    Border mode is "symmetric" — scipy.ndimage.gaussian_filter's default
+    'reflect' is numpy's SYMMETRIC (edge pixel repeated), not numpy's
+    'reflect'; using the wrong one shifts every smoothed value within a
+    kernel radius of the tile edge. Pad width clamps to the surface size so
+    tiny patches degrade instead of crashing."""
     k = jnp.asarray(kernel)
     r = (k.shape[0] - 1) // 2
-    x = jnp.pad(surface, ((r, r), (r, r)), mode="reflect")
+    h, w = surface.shape
+    rh, rw = min(r, h), min(r, w)
+    x = jnp.pad(surface, ((rh, rh), (rw, rw)), mode="symmetric")
+    if rh < r or rw < r:
+        # surface smaller than the kernel radius: top up with edge values
+        x = jnp.pad(x, ((r - rh, r - rh), (r - rw, r - rw)), mode="edge")
     # rows then cols; conv via correlate (gaussian is symmetric)
     x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
     x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(x)

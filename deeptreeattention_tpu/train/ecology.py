@@ -50,8 +50,11 @@ def novel_prediction(model, csv_file, config):
     from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
 
     # train=False: novel-species csvs have no label column by construction
-    # (generate_crops keeps only the annotation schema)
-    ds = TreeDataset(csv_file=csv_file, config=config, train=False)
+    # (generate_crops keeps only the annotation schema). The model's
+    # canonical year axis must drive the dataset: the csv's own year order
+    # can differ (or be a subset), silently mapping years to wrong slots.
+    ds = TreeDataset(csv_file=csv_file, config=config, train=False,
+                     years=getattr(model, "years", None))
     loader = Loader(ds, config["batch_size"], pad_to_batch=config.get("pad_batches", True))
 
     individuals, top_scores, softmax_scores = [], [], []

@@ -33,6 +33,12 @@ class Trainer:
     def fit(self, module, **kwargs):
         self.module = module
         t0 = time.time()
+        if self.callbacks:
+            log.warning(
+                "Trainer callbacks are not executed here (%d given) — use "
+                "module.fit(checkpoint_dir=...) or enable_checkpointing",
+                len(self.callbacks),
+            )
         experiment = getattr(self.logger, "experiment", self.logger)
         self.history = module.fit(
             epochs=self.max_epochs, experiment=experiment,
@@ -40,6 +46,16 @@ class Trainer:
         )
         if self.profiler:
             log.info("fit wall-clock: %.1fs", time.time() - t0)
+        # Lightning semantics: enable_checkpointing writes a checkpoint of
+        # the fitted module under default_root_dir
+        if self.enable_checkpointing and hasattr(module, "save_checkpoint"):
+            try:
+                path = os.path.join(self.default_root_dir, "last")
+                os.makedirs(self.default_root_dir, exist_ok=True)
+                module.save_checkpoint(path)
+                log.info("checkpoint written to %s", path)
+            except Exception as e:  # checkpointing must not kill the run
+                log.warning("post-fit checkpoint failed: %s", e)
         return self.history
 
     def validate(self, module=None, *args, **kwargs):

@@ -145,3 +145,27 @@ def test_predictions_to_df():
     df = misc.predictions_to_df(preds)
     assert len(df) == 3
     assert list(df.individual) == ["a", "b", "c"]
+
+
+def test_trainer_facade_checkpointing(tmp_path):
+    """Lightning-shaped Trainer honors enable_checkpointing/default_root_dir."""
+    from deeptreeattention_tpu.train.trainer import Trainer
+
+    class Stub:
+        def fit(self, epochs=None, experiment=None, fast_dev_run=False):
+            return [{"epoch": 0}]
+
+        def save_checkpoint(self, path):
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "ok"), "w") as f:
+                f.write("1")
+            return path
+
+    t = Trainer(max_epochs=1, default_root_dir=str(tmp_path / "snaps"))
+    t.fit(Stub())
+    assert os.path.exists(os.path.join(str(tmp_path), "snaps", "last", "ok"))
+
+    t2 = Trainer(max_epochs=1, enable_checkpointing=False,
+                 default_root_dir=str(tmp_path / "nosnaps"))
+    t2.fit(Stub())
+    assert not os.path.exists(os.path.join(str(tmp_path), "nosnaps"))
