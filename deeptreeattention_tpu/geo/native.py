@@ -36,7 +36,13 @@ def _load():
         return _LIB
     _TRIED = True
     so_path = os.path.join(_native_dir(), "libdta_native.so")
-    if not os.path.exists(so_path):
+    cc_path = os.path.join(_native_dir(), "geotiff.cc")
+    stale = (
+        os.path.exists(so_path)
+        and os.path.exists(cc_path)
+        and os.path.getmtime(so_path) < os.path.getmtime(cc_path)
+    )
+    if not os.path.exists(so_path) or stale:
         try:
             subprocess.run(
                 ["bash", os.path.join(_native_dir(), "build.sh")],
@@ -97,6 +103,14 @@ def available():
     return _load() is not None
 
 
+def _pack_segments(segments):
+    """(concatenated bytes, offsets[int64], sizes[int64]) for the C ABI."""
+    sizes = np.asarray([len(s) for s in segments], np.int64)
+    offsets = np.zeros(len(segments), np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    return b"".join(segments), offsets, sizes
+
+
 def deflate_segments(segments, level=6, workers=None):
     """Deflate-compress a list of bytes in parallel C++ threads.
 
@@ -111,10 +125,7 @@ def deflate_segments(segments, level=6, workers=None):
         return []
     if workers is None:
         workers = min(len(segments), os.cpu_count() or 1)
-    sizes = np.asarray([len(s) for s in segments], np.int64)
-    offsets = np.zeros(len(segments), np.int64)
-    np.cumsum(sizes[:-1], out=offsets[1:])
-    data = b"".join(segments)
+    data, offsets, sizes = _pack_segments(segments)
     # zlib compressBound ~ n + n/1000 + 64; use a safe stride
     stride = int(sizes.max() + sizes.max() // 512 + 128)
     out = np.empty(len(segments) * stride, np.uint8)
@@ -151,10 +162,7 @@ def inflate_segments(segments, out_size, workers=None):
         return []
     if workers is None:
         workers = min(len(segments), os.cpu_count() or 1)
-    sizes = np.asarray([len(s) for s in segments], np.int64)
-    offsets = np.zeros(len(segments), np.int64)
-    np.cumsum(sizes[:-1], out=offsets[1:])
-    data = b"".join(segments)
+    data, offsets, sizes = _pack_segments(segments)
     stride = int(out_size)
     out = np.empty(len(segments) * stride, np.uint8)
     out_sizes = np.zeros(len(segments), np.int64)
@@ -195,7 +203,9 @@ class NativeRaster:
         self.crs = int(info[4]) or None
         self.nodata = float(nd.value) if info[5] else None
         self.transform = Affine(tf[0], tf[1], tf[2], tf[3], tf[4], tf[5])
-        self.res = (self.transform.a, -self.transform.e)
+        # abs: the numpy codec reports positive resolutions; the
+        # identity default transform has e=+1
+        self.res = (self.transform.a, abs(self.transform.e))
 
     @property
     def bounds(self):

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <list>
 #include <map>
 #include <memory>
@@ -144,6 +145,7 @@ bool parse_ifd(Tiff* t, uint64_t ifd_off, std::map<uint16_t, TagValue>* tags) {
     uint16_t typ = (uint16_t)rd_u(e + 2, 2, t->big_endian);
     uint64_t count = rd_u(e + 4, 4, t->big_endian);
     size_t total = type_size(typ) * count;
+    if (total > (64ull << 20)) continue;  // corrupt count: no 64MB+ tags
 
     std::vector<uint8_t> data(total);
     if (total <= 4) {
@@ -170,7 +172,9 @@ bool parse_ifd(Tiff* t, uint64_t ifd_off, std::map<uint16_t, TagValue>* tags) {
           case 9: num = (double)(int32_t)rd_u(p, 4, t->big_endian); break;
           case 5: {
             uint64_t a = rd_u(p, 4, t->big_endian), b = rd_u(p + 4, 4, t->big_endian);
-            num = b ? (double)a / (double)b : 0;
+            // zero denominator is spec-undefined -> NaN (numpy-codec parity)
+            num = b ? (double)a / (double)b
+                    : std::numeric_limits<double>::quiet_NaN();
             break;
           }
           case 11: {
@@ -195,7 +199,8 @@ int dtype_from(int bps, int fmt) {
   if (bps == 8) return fmt == 2 ? DT_INT8 : DT_UINT8;
   if (bps == 16) return fmt == 2 ? DT_INT16 : DT_UINT16;
   if (bps == 32) return fmt == 3 ? DT_FLOAT32 : (fmt == 2 ? DT_INT32 : DT_UINT32);
-  return DT_FLOAT64;
+  if (bps == 64 && fmt == 3) return DT_FLOAT64;
+  return -1;  // int64/uint64/unknown: fail open -> numpy codec handles
 }
 
 // ---------------------------------------------------------------------------
@@ -504,7 +509,7 @@ void window_to_patch(const uint8_t* win, int64_t bands, int64_t h, int64_t w,
 
 extern "C" {
 
-void* dta_tiff_open(const char* path) {
+static void* dta_tiff_open_impl(const char* path) {
   FILE* fh = fopen(path, "rb");
   if (!fh) return nullptr;
   uint8_t hdr[8];
@@ -536,28 +541,44 @@ void* dta_tiff_open(const char* path) {
   t->compression = (int)num(259, 1);
   t->planar = (int)num(284, 1);
   t->predictor = (int)num(317, 1);
+  // fail open (-> loud numpy-codec path) rather than decode garbage or
+  // divide by zero: unsupported dtype/predictor, degenerate geometry
+  if (t->dtype < 0 || t->width <= 0 || t->height <= 0 ||
+      (t->predictor != 1 &&
+       !(t->predictor == 2 && dtype_size(t->dtype) <= 4))) {
+    delete t; fclose(fh); return nullptr;
+  }
 
   if (tags.count(324)) {
     t->tiled = true;
     t->tile_w = (int64_t)num(322, 0);
     t->tile_l = (int64_t)num(323, 0);
+    if (t->tile_w <= 0 || t->tile_l <= 0 || !tags.count(325)) {
+      delete t; fclose(fh); return nullptr;
+    }
     auto& offs = tags[324].nums;
     auto& cnts = tags[325].nums;
+    if (cnts.size() < offs.size()) { delete t; fclose(fh); return nullptr; }
     for (size_t i = 0; i < offs.size(); i++)
-      t->segments.push_back({(uint64_t)offs[i], (uint64_t)(i < cnts.size() ? cnts[i] : 0)});
+      t->segments.push_back({(uint64_t)offs[i], (uint64_t)cnts[i]});
   } else if (tags.count(273)) {
     t->rows_per_strip = (int64_t)num(278, t->height);
+    if (t->rows_per_strip <= 0 || !tags.count(279)) {
+      delete t; fclose(fh); return nullptr;
+    }
     auto& offs = tags[273].nums;
     auto& cnts = tags[279].nums;
+    if (cnts.size() < offs.size()) { delete t; fclose(fh); return nullptr; }
     for (size_t i = 0; i < offs.size(); i++)
-      t->segments.push_back({(uint64_t)offs[i], (uint64_t)(i < cnts.size() ? cnts[i] : 0)});
+      t->segments.push_back({(uint64_t)offs[i], (uint64_t)cnts[i]});
   } else {
     delete t;
     fclose(fh);
     return nullptr;
   }
 
-  if (tags.count(33550) && tags.count(33922)) {
+  if (tags.count(33550) && tags.count(33922) &&
+      tags[33550].nums.size() >= 2 && tags[33922].nums.size() >= 6) {
     double sx = tags[33550].nums[0], sy = tags[33550].nums[1];
     auto& tp = tags[33922].nums;
     double west = tp[3] - tp[0] * sx;
@@ -580,6 +601,16 @@ void* dta_tiff_open(const char* path) {
     } catch (...) {}
   }
   return t;
+}
+
+void* dta_tiff_open(const char* path) {
+  // no C++ exception may cross the C ABI: bad_alloc/etc. on corrupt files
+  // become a clean nullptr (-> numpy-codec fallback raises in Python)
+  try {
+    return dta_tiff_open_impl(path);
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 // info: [width, height, bands, dtype, epsg, has_nodata]

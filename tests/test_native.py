@@ -122,3 +122,65 @@ def test_write_tiff_deflate_native_matches_python(tmp_path):
         assert a.read() == b.read()
     with raster.open_raster(p_native) as src:
         np.testing.assert_array_equal(src.read(), arr)
+
+
+def test_native_refuses_int64_numpy_fallback_reads(tmp_path):
+    """64-bit integer TIFFs: the native decoder fails open (it cannot decode
+    them) and the Raster wrapper falls back to the numpy codec, which can."""
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import native, raster
+
+    p = str(tmp_path / "i64.tif")
+    data = np.arange(64, dtype=np.int64).reshape(1, 8, 8) * 10**15
+    raster.write_raster(p, data)
+    if native.available():
+        import pytest
+
+        with pytest.raises(ValueError):
+            native.NativeRaster(p)
+    with raster.open_raster(p) as src:
+        np.testing.assert_array_equal(src.read(), data)
+
+
+def test_native_res_parity_ungeoreferenced(tmp_path):
+    """Both backends report positive unit resolution for files without
+    georeferencing tags."""
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import native, raster
+    from deeptreeattention_tpu.geo.tiff import TiffReader
+
+    p = str(tmp_path / "nogeo.tif")
+    raster.write_raster(p, np.ones((1, 4, 4), np.uint8))
+    assert TiffReader(p).res == (1.0, 1.0)
+    if native.available():
+        assert native.NativeRaster(p).res == (1.0, 1.0)
+
+
+def test_native_corrupt_counts_no_crash(tmp_path):
+    """A TIFF whose strip-counts tag is stripped must not SIGFPE/abort the
+    process: the native open refuses and the numpy codec raises."""
+    import struct
+
+    import numpy as np
+
+    from deeptreeattention_tpu.geo import raster
+
+    p = str(tmp_path / "c.tif")
+    raster.write_raster(p, np.ones((1, 8, 8), np.uint8))
+    raw = bytearray(open(p, "rb").read())
+    # rewrite the StripByteCounts tag id (279) to a bogus id, "removing" it
+    ifd_off = struct.unpack("<I", raw[4:8])[0]
+    (n,) = struct.unpack("<H", raw[ifd_off:ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag = struct.unpack("<H", raw[e:e + 2])[0]
+        if tag == 279:
+            raw[e:e + 2] = struct.pack("<H", 65000)
+    open(p, "wb").write(bytes(raw))
+    import pytest
+
+    with pytest.raises(Exception):
+        with raster.open_raster(p) as src:
+            src.read()
