@@ -162,7 +162,13 @@ class AliveDead:
         self.config = config
         self.depth = depth
         cfg = config["dead"]
-        self.model = ResNet(num_classes=2, depth=depth)
+        # opt-in bf16 compute: +13% scoring throughput measured on v5e
+        # (scripts/bench_dead.py); scores shift at bf16 precision, so the
+        # default stays f32 for exact torch-import parity
+        dtype = (
+            jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
+        )
+        self.model = ResNet(num_classes=2, depth=depth, dtype=dtype)
         key = jax.random.PRNGKey(seed)
         self.variables = dict(
             self.model.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
