@@ -12,12 +12,14 @@ Everything is seeded; ensure_fixtures() is idempotent via a version marker.
 import json
 import os
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
 from deeptreeattention_tpu.geo import affine, raster, vector, geometry
 
-VERSION = 4
+VERSION = 5
 EPSG = 32617
 EASTING, NORTHING = 726000, 4699000  # geoindex cell
 TILE = 200  # tile pixels at 1 m
@@ -150,7 +152,9 @@ def build(out_dir):
                 "itcNorthing": r.y,
                 "utmZone": "17N",
                 "height": r.height,
-                "stemDiameter": float(np.random.RandomState(hash(r.individual) % 2**31).uniform(12, 40)),
+                "stemDiameter": float(np.random.RandomState(
+                    zlib.crc32(str(r.individual).encode()) % 2**31
+                ).uniform(12, 40)),
                 "growthForm": "single bole tree",
                 "plantStatus": "Live",
                 "canopyPosition": "Full sun",

@@ -43,7 +43,10 @@ def test_two_process_distributed_allreduce(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers pick their own device count
     env["DTA_PLATFORM"] = "cpu"
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # APPEND (CLAUDE.md): replacing PYTHONPATH drops /root/.axon_site and
+    # with it the TPU backend registration in subprocesses
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "distributed_worker.py")
     procs = [
         subprocess.Popen(

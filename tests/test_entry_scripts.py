@@ -12,7 +12,10 @@ import pytest
 def _run(script, overrides, root, extra_args=(), timeout=600):
     env = dict(os.environ)
     env["DTA_PLATFORM"] = "cpu"
-    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    # explicit (conftest already exported an 8-device XLA_FLAGS): CLI
+    # subprocesses run a small 2-device mesh on this 1-core host
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
     cmd = [sys.executable, script, *extra_args, "-d", json.dumps(overrides)]
     return subprocess.run(
         cmd, cwd=root, env=env, capture_output=True, text=True, timeout=timeout
@@ -21,6 +24,11 @@ def _run(script, overrides, root, extra_args=(), timeout=600):
 
 @pytest.fixture(scope="module")
 def overrides(ROOT, fixtures_dir):
+    # stale checkpoints from an earlier run would make the entry assertions
+    # pass vacuously
+    import shutil
+
+    shutil.rmtree("/tmp/dta_test_snapshots", ignore_errors=True)
     artifact = os.path.join(fixtures_dir, "artifact")
     return {
         "use_data_commit": "artifact",

@@ -104,28 +104,31 @@ def test_checkpoint_restores_optimizer_state(m, config, tmp_path):
 
     from deeptreeattention_tpu.models.multi_stage import MultiStage
 
-    # simulate a plateau reduction and some training history
-    for level in range(m.levels):
-        m.schedulers[level].lr = m.schedulers[level].lr * 0.5
-        m.opt_states[level] = __import__(
-            "deeptreeattention_tpu.train.optim", fromlist=["optim"]
-        ).set_learning_rate(m.opt_states[level], m.schedulers[level].lr)
-    path = m.save_checkpoint(str(tmp_path / "opt_ckpt"))
+    from deeptreeattention_tpu.train import optim
 
-    loaded = MultiStage.load_from_checkpoint(path, config=config)
-    for level in range(m.levels):
-        orig = jax.tree_util.tree_leaves(m.opt_states[level])
-        rest = jax.tree_util.tree_leaves(loaded.opt_states[level])
-        assert len(orig) == len(rest)
-        for a, b in zip(orig, rest):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
-        assert float(
-            loaded.opt_states[level].hyperparams["learning_rate"]
-        ) == pytest.approx(m.schedulers[level].lr)
+    # simulate a plateau reduction and some training history; the fixture
+    # is session-scoped, so restore its lr state even on assertion failure
+    try:
+        for level in range(m.levels):
+            m.schedulers[level].lr = m.schedulers[level].lr * 0.5
+            m.opt_states[level] = optim.set_learning_rate(
+                m.opt_states[level], m.schedulers[level].lr
+            )
+        path = m.save_checkpoint(str(tmp_path / "opt_ckpt"))
 
-    # restore the session-scoped fixture's lr state
-    for level in range(m.levels):
-        m.schedulers[level].lr = m.schedulers[level].lr * 2.0
-        m.opt_states[level] = __import__(
-            "deeptreeattention_tpu.train.optim", fromlist=["optim"]
-        ).set_learning_rate(m.opt_states[level], m.schedulers[level].lr)
+        loaded = MultiStage.load_from_checkpoint(path, config=config)
+        for level in range(m.levels):
+            orig = jax.tree_util.tree_leaves(m.opt_states[level])
+            rest = jax.tree_util.tree_leaves(loaded.opt_states[level])
+            assert len(orig) == len(rest)
+            for a, b in zip(orig, rest):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+            assert float(
+                loaded.opt_states[level].hyperparams["learning_rate"]
+            ) == pytest.approx(m.schedulers[level].lr)
+    finally:
+        for level in range(m.levels):
+            m.schedulers[level].lr = m.schedulers[level].lr * 2.0
+            m.opt_states[level] = optim.set_learning_rate(
+                m.opt_states[level], m.schedulers[level].lr
+            )

@@ -112,12 +112,16 @@ def test_write_tiff_deflate_native_matches_python(tmp_path):
     t = from_origin(700000, 4700000, 1, 1)
     p_native = str(tmp_path / "n.tif")
     p_python = str(tmp_path / "p.tif")
-    raster.write_raster(p_native, arr, transform=t, crs=32617, compress="deflate", tiled=True)
-    os.environ["DTA_PY_TIFF"] = "1"
+    prior = os.environ.pop("DTA_PY_TIFF", None)  # a preset value would make
+    # both writes take the python path (vacuous parity) and then be clobbered
     try:
+        raster.write_raster(p_native, arr, transform=t, crs=32617, compress="deflate", tiled=True)
+        os.environ["DTA_PY_TIFF"] = "1"
         raster.write_raster(p_python, arr, transform=t, crs=32617, compress="deflate", tiled=True)
     finally:
-        del os.environ["DTA_PY_TIFF"]
+        os.environ.pop("DTA_PY_TIFF", None)
+        if prior is not None:
+            os.environ["DTA_PY_TIFF"] = prior
     with open(p_native, "rb") as a, open(p_python, "rb") as b:
         assert a.read() == b.read()
     with raster.open_raster(p_native) as src:

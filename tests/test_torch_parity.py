@@ -64,9 +64,7 @@ def make_spatial_state(rng, prefix=""):
         state[prefix + "attention_{}.attention_conv1.bias".format(i)] = _rand(rng, 1)
         state[prefix + "attention_{}.attention_conv2.weight".format(i)] = _rand(rng, 1, 1, k, k)
         state[prefix + "attention_{}.attention_conv2.bias".format(i)] = _rand(rng, 1)
-        in_features = SPAT_POOL[i] and (
-            {1: 128, 2: 256, 3: 512}[i] if BANDS else None
-        )
+        in_features = {1: 128, 2: 256, 3: 512}[i]
         state[prefix + "classifier{}.fc1.weight".format(i)] = _rand(rng, CLASSES, in_features)
         state[prefix + "classifier{}.fc1.bias".format(i)] = _rand(rng, CLASSES)
     return state
