@@ -11,6 +11,7 @@ the axon relay `block_until_ready` returns before execution, so only a host
 read proves the work ran. The chained scan makes device work >> link RTT.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -22,8 +23,10 @@ def main():
     try:  # reuse compiled programs across bench runs
         jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+
+        print("warning: compilation cache disabled ({})".format(e), file=sys.stderr)
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.hang2020 import Hang2020
@@ -36,7 +39,7 @@ def main():
     # fused path, docs/PERF.md). The compilation cache at /tmp/dta_jax_cache
     # is pre-seeded for this shape (verified to survive across processes in
     # round 2); a cold compile worst-cases ~20 min through the relay.
-    BATCH = 8192
+    BATCH = int(os.environ.get("DTA_BENCH_BATCH", 8192))
     ITERS = 8
 
     from deeptreeattention_tpu.models.fused import hang2020_eval
@@ -45,7 +48,7 @@ def main():
     rng = np.random.RandomState(0)
     # int16 input: NEON reflectance's native dtype — halves the HBM read
     # traffic of the preprocessing pass (docs/PERF.md round 2)
-    raw = jnp.asarray(rng.randint(0, 10000, size=(BATCH, 11, 11, BANDS_RAW)), jnp.int16)
+    raw = jnp.asarray(rng.randint(0, 10000, size=(BATCH, 11, 11, BANDS_RAW), dtype=np.int16))
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 11, 11, BANDS), jnp.float32))
 
     @jax.jit

@@ -28,15 +28,17 @@ def main():
     try:  # reuse compiled programs across bench runs
         jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+
+        print("warning: compilation cache disabled ({})".format(e), file=sys.stderr)
     import jax.numpy as jnp
     import optax
 
     from deeptreeattention_tpu.models.year import LearnedEnsemble
-    from deeptreeattention_tpu.train.steps import weighted_cross_entropy
+    from deeptreeattention_tpu.train import steps as train_steps
 
-    small = bool(os.environ.get("DTA_BENCH_SMALL"))
+    small = os.environ.get("DTA_BENCH_SMALL", "").lower() in ("1", "true", "yes")
     YEARS = 2 if small else 4
     BANDS = 8 if small else 349
     CLASSES = 3 if small else 20
@@ -48,7 +50,7 @@ def main():
         years=YEARS, classes=CLASSES, bands=BANDS, dtype=jnp.bfloat16
     )
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(BATCH, YEARS, 11, 11, BANDS), jnp.float32)
+    x = jnp.asarray(rng.rand(BATCH, YEARS, 11, 11, BANDS).astype(np.float32))
     y = jnp.asarray(rng.randint(0, CLASSES, BATCH), jnp.int32)
     mask = jnp.ones(BATCH, jnp.float32)
     weights = jnp.ones(CLASSES, jnp.float32)
@@ -56,26 +58,14 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x[:1])
     optimizer = optax.adam(1e-4)
 
-    def one_step(params, batch_stats, opt_state, images):
-        def loss_fn(p):
-            logits, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                images, train=True, mutable=["batch_stats"],
-            )
-            return (
-                weighted_cross_entropy(logits, y, weights, mask),
-                mutated["batch_stats"],
-            )
+    # the PRODUCTION step (train/steps.py), not a reimplementation — the
+    # bench tracks whatever the training loops actually compile
+    step_fn = train_steps.make_train_step(model.apply, optimizer)
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), stats, opt_state, loss
-
-    @partial_jit
     def bench_fn(params, batch_stats, opt_state, x):
         def body(carry, _):
             params, stats, opt, acc = carry
-            params, stats, opt, loss = one_step(params, stats, opt, x)
+            params, stats, opt, loss = step_fn(params, stats, opt, x, y, mask, weights)
             return (params, stats, opt, acc + loss), None
 
         (params, stats, opt, acc), _ = jax.lax.scan(
@@ -83,6 +73,8 @@ def main():
             length=ITERS,
         )
         return params, stats, opt, acc
+
+    bench_fn = jax.jit(bench_fn, donate_argnums=(0, 1, 2))
 
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -122,12 +114,6 @@ def main():
             }
         )
     )
-
-
-def partial_jit(fn):
-    import jax
-
-    return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
 if __name__ == "__main__":
