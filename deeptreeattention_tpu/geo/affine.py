@@ -60,13 +60,17 @@ class Affine:
         row = (-self.d * (x - self.c) + self.a * (y - self.f)) / det
         return int(math.floor(row)), int(math.floor(col))
 
+    def _quantized(self):
+        # eq and hash MUST quantize identically: a tolerance-based __eq__
+        # with a rounding __hash__ lets equal objects hash differently
+        # (dict/set lookups silently miss)
+        return tuple(round(getattr(self, k), 9) for k in self.__slots__)
+
     def __eq__(self, other):
-        return isinstance(other, Affine) and all(
-            abs(getattr(self, k) - getattr(other, k)) < 1e-9 for k in self.__slots__
-        )
+        return isinstance(other, Affine) and self._quantized() == other._quantized()
 
     def __hash__(self):  # rasterio's Affine is hashable (dict/set keys)
-        return hash(tuple(round(getattr(self, k), 9) for k in self.__slots__))
+        return hash(self._quantized())
 
     def __repr__(self):
         return "Affine({}, {}, {}, {}, {}, {})".format(

@@ -211,6 +211,13 @@ def _parse_attribute(r, off, f):
         shape = _parse_dataspace(r, p)
         p += _pad8(ds_size)
     elif version in (2, 3):
+        # flags bit 0/1: datatype/dataspace stored as shared-message
+        # references — _Datatype would misparse the reference header as an
+        # inline datatype (garbage values, no exception). Fail loudly so
+        # read_with_fallback routes the file to h5py.
+        flags = r.u8(off + 1)
+        if flags & 0x03:
+            raise NotImplementedError("hdf5: shared attribute datatype/dataspace")
         name_size = r.u16(off + 2)
         dt_size = r.u16(off + 4)
         ds_size = r.u16(off + 6)
@@ -511,6 +518,7 @@ class Dataset:
         self.shape = ()
         self._layout = None
         self._filters = []
+        fill_msgs = []
         for mtype, body, msize in msgs:
             if mtype == MSG_DATATYPE:
                 self._dtype = _Datatype(r, body)
@@ -520,6 +528,11 @@ class Dataset:
                 self._filters = _parse_filters(r, body)
             elif mtype == MSG_LAYOUT:
                 self._layout = self._parse_layout(r, body)
+            elif mtype in (MSG_FILL, MSG_FILL_OLD):
+                fill_msgs.append((mtype, body))
+        # parsed after the loop: the datatype message may follow the fill
+        # message in header order
+        self._fill = self._parse_fill(r, fill_msgs)
         self._chunk_index = None
         # LRU of decompressed chunks: window reads cluster spatially
         # (row-sorted crowns), so repeated 11x11 reads from the same
@@ -528,6 +541,44 @@ class Dataset:
         self._cache = {}
         self._cache_bytes = 0
         self._cache_cap = 256 * 1024 * 1024
+
+    def _parse_fill(self, r, fill_msgs):
+        """Declared non-zero fill value as a numpy scalar, else None.
+
+        h5py returns the file's fill value for unallocated chunks and
+        never-written contiguous data; ignoring the message would decode
+        those regions as zeros (wrong for e.g. a -9999 nodata fill)."""
+        for mtype, body in fill_msgs:
+            if mtype == MSG_FILL_OLD:
+                size = r.u32(body)
+                buf = r.raw(body + 4, size)
+            else:
+                version = r.u8(body)
+                if version in (1, 2):
+                    defined = r.u8(body + 3)
+                    if version == 2 and not defined:
+                        continue
+                    size = r.u32(body + 4)
+                    buf = r.raw(body + 8, size)
+                elif version == 3:
+                    flags = r.u8(body + 1)
+                    if not flags & 0x20:  # "fill value defined" bit
+                        continue
+                    size = r.u32(body + 2)
+                    buf = r.raw(body + 6, size)
+                else:
+                    raise NotImplementedError(
+                        "hdf5: fill message v{}".format(version))
+            if size == 0 or self._dtype is None:
+                continue
+            if self._dtype.cls == 9 or size != self._dtype.size:
+                # vlen or non-scalar fill: out of scope — fail loudly so
+                # read_with_fallback retries via h5py
+                raise NotImplementedError("hdf5: unsupported fill value")
+            val = np.frombuffer(buf, self._dtype.np)[0]
+            if val != np.zeros((), self._dtype.np)[()]:
+                return val
+        return None
 
     @staticmethod
     def _parse_layout(r, body):
@@ -665,7 +716,10 @@ class Dataset:
         if kind in ("compact", "contiguous"):
             addr, size = self._layout[1], self._layout[2]
             if kind == "contiguous" and addr == UNDEF:
-                buf = b"\x00" * (count * dt.size)  # never written: fill
+                # never written: the declared fill value (default zeros)
+                if self._fill is not None:
+                    return np.full(self.shape, self._fill, dt.np)
+                buf = b"\x00" * (count * dt.size)
             else:
                 buf = r.raw(addr, count * dt.size)
             arr = _decode_elements(r, buf, dt, self._f)
@@ -681,7 +735,12 @@ class Dataset:
         if sel is None:
             sel = [(0, s) for s in self.shape]
         out_shape = tuple(hi - lo for lo, hi in sel)
-        out = np.zeros(out_shape, dtype=dt.np if dt.cls != 9 else object)
+        if self._fill is not None and dt.cls != 9:
+            # unallocated chunks (absent from the index) decode as the
+            # file's declared fill value, matching h5py
+            out = np.full(out_shape, self._fill, dtype=dt.np)
+        else:
+            out = np.zeros(out_shape, dtype=dt.np if dt.cls != 9 else object)
         decoded, wanted = [], []
         for offsets, addr, size, mask in self._chunks():
             if all(off < hi and off + c > lo
@@ -851,11 +910,12 @@ class File(Group):
         out = AttributeDict()
         for mtype, body, msize in msgs:
             if mtype == MSG_ATTRIBUTE:
-                try:
-                    name, value = _parse_attribute(self._r, body, self)
-                    out[name] = value
-                except NotImplementedError:
-                    continue
+                # an unsupported attribute must propagate: silently skipping
+                # it makes a required key (e.g. Data_Ignore_Value) vanish and
+                # the consumer fails with KeyError, which read_with_fallback
+                # does not catch — propagating lets h5py retry the whole read
+                name, value = _parse_attribute(self._r, body, self)
+                out[name] = value
             elif mtype == MSG_ATTRIBUTE_INFO:
                 # dense attribute storage (fractal heap) — out of scope;
                 # the message also appears with an undefined heap address

@@ -12,7 +12,11 @@ from deeptreeattention_tpu.geo.raster import open_raster
 
 
 def zonal_stats(geometries, raster_path, stats=("mean",), add_stats=None, nodata=None):
-    """Per-geometry stats dicts over band 1 of the raster."""
+    """Per-geometry stats dicts over band 1 of the raster.
+
+    `geometries` may be a sequence of geometry objects or anything with a
+    `.geometry` column (GeoDataFrame/GeoSeries) — rasterstats accepts both."""
+    geometries = getattr(geometries, "geometry", geometries)
     add_stats = add_stats or {}
     results = []
     with open_raster(raster_path) as src:

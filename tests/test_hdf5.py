@@ -396,3 +396,31 @@ def test_userblock_file(tmp_path):
     np.testing.assert_array_equal(np.asarray(f["d"][2:9, 1:5]), data[2:9, 1:5])
     assert int(f["d"].attrs["tag"]) == 7
     assert hdf5.is_hdf5(str(p))  # h5py-style offset scan finds the superblock
+
+
+def test_fill_value_sparse_chunks(tmp_path):
+    """Unallocated chunks and never-written data decode as the file's
+    declared fill value, matching h5py (not zeros)."""
+    p = str(tmp_path / "fill.h5")
+    with h5py.File(p, "w") as f:
+        d = f.create_dataset("sparse", shape=(8, 8), dtype=np.float32,
+                             chunks=(4, 4), fillvalue=-9999.0)
+        d[0:4, 0:4] = 1.5  # only the first chunk is ever written
+        f.create_dataset("never", shape=(3, 3), dtype=np.int16,
+                         fillvalue=-7)
+        f.create_dataset("zero_fill", shape=(2, 2), dtype=np.float64)
+    with h5py.File(p, "r") as ref, hdf5.File(p) as mine:
+        for name in ("sparse", "never", "zero_fill"):
+            np.testing.assert_array_equal(mine[name][:], ref[name][:])
+        # windowed read crossing allocated and unallocated chunks
+        np.testing.assert_array_equal(mine["sparse"][2:6, 2:6],
+                                      ref["sparse"][2:6, 2:6])
+
+
+def test_fill_value_via_read_with_fallback(tmp_path):
+    p = str(tmp_path / "fill2.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("d", shape=(4,), dtype=np.float32,
+                         chunks=(2,), fillvalue=-1.0)
+    out = hdf5.read_with_fallback(p, lambda f: np.asarray(f["d"][:]))
+    np.testing.assert_array_equal(out, np.full(4, -1.0, np.float32))
