@@ -259,10 +259,16 @@ class MultiStage:
             (1, len(self.years), cfg["image_size"], cfg["image_size"], cfg["bands"]),
             jnp.float32,
         )
+        # "batch" is bit-faithful to the reference's x.sum()==0 year skip;
+        # "sample" (recommended, config.yml) masks missing years per sample,
+        # making predictions independent of batch composition
+        mask_mode = cfg.get("mask_mode", "batch")
+        self.mask_mode = mask_mode
         for level in range(self.levels):
             classes = self.num_classes[level]
             model = LearnedEnsemble(
-                years=len(self.years), classes=classes, bands=cfg["bands"], dtype=dtype
+                years=len(self.years), classes=classes, bands=cfg["bands"], dtype=dtype,
+                mask_mode=mask_mode,
             )
             self.key, sub = jax.random.split(self.key)
             variables = model.init(sub, sample)
@@ -311,23 +317,31 @@ class MultiStage:
     # loaders
     # ------------------------------------------------------------------
     def train_dataloader(self):
+        workers = self.config.get("workers", 0)
         return [
             Loader(ds, self.config["batch_size"], shuffle=True,
                    seed=int(self.rng.randint(0, 2**31)),
-                   pad_to_batch=self.config.get("pad_batches", True))
+                   pad_to_batch=self.config.get("pad_batches", True),
+                   workers=workers)
             for ds in self.train_datasets
         ]
 
     def val_dataloader(self):
+        workers = self.config.get("workers", 0)
         return [
             Loader(ds, self.config["batch_size"], shuffle=False,
-                   pad_to_batch=self.config.get("pad_batches", True))
+                   pad_to_batch=self.config.get("pad_batches", True),
+                   workers=workers)
             for ds in self.test_datasets
         ]
 
     def predict_dataloader(self, ds):
+        # decode overlaps device compute (reference DataLoader num_workers
+        # analogue); the crop-file predict path is the main beneficiary
+        # since predict.py forces preload_images off
         return Loader(ds, self.config["predict_batch_size"], shuffle=False,
-                      pad_to_batch=self.config.get("pad_batches", True))
+                      pad_to_batch=self.config.get("pad_batches", True),
+                      workers=self.config.get("workers", 0))
 
     # ------------------------------------------------------------------
     # training
@@ -341,6 +355,7 @@ class MultiStage:
         fast = cfg.get("fast_dev_run") if fast_dev_run is None else fast_dev_run
         if fast:
             epochs = 1
+        self._ensure_global_state()
         start_epoch = 0
         if resume_from:
             restored = MultiStage.load_from_checkpoint(resume_from, config=cfg)
@@ -398,6 +413,21 @@ class MultiStage:
         with open(meta_path, "w") as f:
             json.dump(meta, f, indent=1)
 
+    def _ensure_global_state(self):
+        """On a mesh spanning processes (pod training), model/optimizer
+        state must be global arrays: a tree committed to this host's device
+        0 (model.init / checkpoint load) cannot feed a pod-mesh jit. Every
+        process holds identical state (seeded init / same checkpoint), so
+        replication assembles without cross-host transfers. No-op on
+        single-host meshes."""
+        from deeptreeattention_tpu.parallel import replicate, spans_processes
+
+        if self.mesh is None or not spans_processes(self.mesh):
+            return
+        self.variables = replicate(self.variables, self.mesh)
+        self.opt_states = replicate(self.opt_states, self.mesh)
+        self.loss_weights = replicate(self.loss_weights, self.mesh)
+
     def _iter_batches(self, loader):
         """Loader -> double-buffered device batch stream: H2D copies (and the
         mesh sharding, when one is configured) overlap the previous step's
@@ -415,8 +445,9 @@ class MultiStage:
             n_steps = min(n_steps, max_batches)
         # losses accumulate on device; ONE host sync per epoch (a per-step
         # float() would add a host round-trip per step, which on the remote
-        # TPU relay dominates the step time)
-        sums = [jnp.float32(0.0) for _ in range(self.levels)]
+        # TPU relay dominates the step time). Python-scalar init: a device-
+        # committed zero would clash with pod-mesh global loss arrays.
+        sums = [0.0 for _ in range(self.levels)]
         counts = np.zeros(self.levels)
         for step_i in range(n_steps):
             for level in range(self.levels):
@@ -447,6 +478,7 @@ class MultiStage:
         return (totals / np.maximum(counts, 1)).tolist()
 
     def validate(self, max_batches=None):
+        self._ensure_global_state()
         val_losses = []
         level_metrics = []
         for level, loader in enumerate(self.val_dataloader()):
@@ -465,10 +497,13 @@ class MultiStage:
                     self.loss_weights[level],
                 )
                 losses.append(float(loss))
-                mask = np.asarray(batch["mask"]).astype(bool)
-                labels = np.asarray(batch["label"])
-                mc.update(np.asarray(probs)[mask], labels[mask])
-                preds.append(np.argmax(np.asarray(probs)[mask], 1))
+                from deeptreeattention_tpu.parallel import gather_to_host
+
+                probs = gather_to_host(probs)  # full batch even on a pod mesh
+                mask = gather_to_host(batch["mask"]).astype(bool)
+                labels = gather_to_host(batch["label"])
+                mc.update(probs[mask], labels[mask])
+                preds.append(np.argmax(probs[mask], 1))
                 targets.append(labels[mask])
             val_losses.append(float(np.mean(losses)) if losses else float("nan"))
             md = mc.compute()
@@ -492,12 +527,15 @@ class MultiStage:
         Batches stream through the prefetch pipeline; with a mesh configured
         the batch axis is sharded over it (params replicated) so the
         landscape sweep runs data-parallel over ICI (SURVEY §5)."""
+        from deeptreeattention_tpu.parallel import gather_to_host
+
+        self._ensure_global_state()
         outputs = []
         for batch in self._iter_batches(loader):
             images = batch["HSI"]
             individuals = np.asarray(batch["individual"])  # strings stay host-side
             n = len(individuals)
-            mask = np.asarray(batch["mask"]).astype(bool)[:n]
+            mask = gather_to_host(batch["mask"]).astype(bool)[:n]
             level_probs = []
             for level in range(self.levels):
                 probs = self._eval_steps[level](
@@ -505,7 +543,7 @@ class MultiStage:
                     self.variables[level].get("batch_stats", {}),
                     images,
                 )
-                level_probs.append(np.asarray(probs)[:n][mask])
+                level_probs.append(gather_to_host(probs)[:n][mask])
             outputs.append((individuals[mask], level_probs))
         return outputs
 
@@ -631,6 +669,7 @@ class MultiStage:
             "num_classes": self.num_classes,
             "bands": self.config["bands"],
             "image_size": self.config["image_size"],
+            "mask_mode": getattr(self, "mask_mode", self.config.get("mask_mode", "batch")),
             "scheduler_state": [s.state_dict() for s in self.schedulers],
         }
         return checkpoints.save_checkpoint(path, tree, meta)
@@ -671,10 +710,12 @@ class MultiStage:
         obj.models, obj.variables, obj.optimizers = [], [], []
         obj.opt_states, obj.schedulers, obj.loss_weights = [], [], []
         obj._train_steps, obj._eval_steps, obj._val_steps = [], [], []
+        # precedence: what the model trained with > config > reference parity
+        obj.mask_mode = meta.get("mask_mode") or config.get("mask_mode", "batch")
         for level in range(obj.levels):
             model = LearnedEnsemble(
                 years=len(obj.years), classes=obj.num_classes[level],
-                bands=cfg["bands"], dtype=dtype,
+                bands=cfg["bands"], dtype=dtype, mask_mode=obj.mask_mode,
             )
             variables = jax.tree_util.tree_map(
                 jnp.asarray, tree["levels"][str(level)]

@@ -237,13 +237,17 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
         # row-sort crowns so each chunk's windows live in one short slab
         first = next(iter(bounds_px.values()))
         order = np.argsort(first[:, 0], kind="stable")
-        for rect in bounds_px.values():
-            if rect[:, 2].max() > slab_rows:
-                raise ValueError(
-                    "slab_rows={} smaller than the tallest crown ({} px)".format(
-                        slab_rows, int(rect[:, 2].max())
-                    )
-                )
+        tallest = max(int(rect[:, 2].max()) for rect in bounds_px.values())
+        if tallest > slab_rows:
+            # a single crown taller than the slab can never fit — bump to the
+            # next slab_rows multiple (few distinct compiled slab shapes
+            # across a sweep) instead of failing the tile
+            bumped = -(-tallest // slab_rows) * slab_rows
+            log.warning(
+                "slab_rows=%d smaller than the tallest crown (%d px); "
+                "using %d for this tile", slab_rows, tallest, bumped,
+            )
+            slab_rows = bumped
     else:
         # whole tiles resident in HBM (fastest when they fit)
         device_tiles = {
@@ -270,21 +274,49 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
                 # any window ending past the slab would clamp to the slab's
                 # last row instead of the rows the whole-tile path reads —
                 # unless the slab already reaches the tile bottom, where
-                # both paths clamp identically
-                if int((rect[:, 0] + rect[:, 2]).max()) > start + eff and \
-                        start + eff < h:
-                    raise ValueError(
-                        "chunk row span exceeds slab_rows={}; lower `chunk` or "
-                        "raise slab_rows".format(slab_rows)
-                    )
+                # both paths clamp identically. _split_fitting guarantees
+                # every chunk reaching here fits.
+                assert int((rect[:, 0] + rect[:, 2]).max()) <= start + eff \
+                    or start + eff >= h, "chunk overspans its slab (bug)"
                 slab = jax.device_put(jnp.asarray(host_tiles[key][start:start + eff]))
                 local = rect.copy()
                 local[:, 0] -= start
                 per_year.append(year_images(slab, local))
         return jnp.stack(per_year, axis=1)
 
+    def _chunk_fits(idx):
+        """True when every year's windows for these crowns live inside one
+        slab (accounting for the bottom-of-tile clamp both paths share)."""
+        for key in bounds_px:
+            rect = bounds_px[key][idx]
+            h = host_tiles[key].shape[0]
+            eff = min(slab_rows, h)
+            start = max(0, min(int(rect[:, 0].min()), h - eff))
+            if int((rect[:, 0] + rect[:, 2]).max()) > start + eff and start + eff < h:
+                return False
+        return True
+
+    def _split_fitting(idx):
+        """Yield sub-chunks that each fit in a slab: a chunk whose row span
+        overruns slab_rows is recursively halved (crowns are row-sorted, so
+        halves have monotonically shrinking spans; a single crown always
+        fits because slab_rows >= the tallest crown). Replaces the old
+        hard ValueError, which predict.py's per-tile try/except turned into
+        a silently skipped tile."""
+        if slab_rows is None or len(idx) <= 1 or _chunk_fits(idx):
+            yield idx
+            return
+        mid = len(idx) // 2
+        for sub in (idx[:mid], idx[mid:]):
+            for fit in _split_fitting(sub):
+                yield fit
+
     individuals = np.asarray(crowns.individual)
-    chunk_idx = [order[s:s + chunk] for s in range(0, n, chunk)]
+    chunk_idx = [
+        sub
+        for s in range(0, n, chunk)
+        for sub in _split_fitting(order[s:s + chunk])
+    ]
     pending = []
     outputs = []
 

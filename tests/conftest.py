@@ -48,37 +48,9 @@ def fixtures_dir(ROOT, tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def config(ROOT, fixtures_dir):
-    from deeptreeattention_tpu.utils.config import default_config
+    from tests.make_fixtures import fixture_config
 
-    cfg = default_config()
-    artifact = os.path.join(fixtures_dir, "artifact")
-    cfg["min_CHM_height"] = None
-    cfg["iterations"] = 1
-    cfg["rgb_sensor_pool"] = os.path.join(fixtures_dir, "rgb", "*.tif")
-    cfg["HSI_sensor_pool"] = os.path.join(fixtures_dir, "hsi", "*.tif")
-    cfg["CHM_pool"] = os.path.join(fixtures_dir, "chm", "*.tif")
-    cfg["min_train_samples"] = 1
-    cfg["min_test_samples"] = 1
-    cfg["crop_dir"] = artifact
-    cfg["data_dir"] = fixtures_dir
-    cfg["bands"] = 8
-    cfg["classes"] = 3
-    cfg["top_k"] = 1
-    cfg["convert_h5"] = False
-    cfg["plot_n_individuals"] = 0
-    cfg["megaplot_dir"] = None
-    cfg["use_data_commit"] = "artifact"
-    cfg["dead"]["epochs"] = 1
-    cfg["pretrain_state_dict"] = None
-    cfg["preload_images"] = False
-    cfg["batch_size"] = 2
-    cfg["workers"] = 0
-    cfg["dead"]["num_workers"] = 0
-    cfg["dead"]["batch_size"] = 2
-    cfg["epochs"] = 1
-    cfg["compute_dtype"] = "float32"
-    cfg["samples_from_other_sites"] = 1000
-    return cfg
+    return fixture_config(fixtures_dir)
 
 
 @pytest.fixture(scope="session")

@@ -240,3 +240,41 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(os.path.dirname(__file__), "data")
     build(out)
     print("fixtures written to", out)
+
+
+def fixture_config(fixtures_dir):
+    """The suite's config (shared with conftest.py's `config` fixture and the
+    multi-process workers in tests/distributed_worker.py)."""
+    import os
+
+    from deeptreeattention_tpu.utils.config import default_config
+
+    cfg = default_config()
+    artifact = os.path.join(fixtures_dir, "artifact")
+    cfg["min_CHM_height"] = None
+    cfg["iterations"] = 1
+    cfg["rgb_sensor_pool"] = os.path.join(fixtures_dir, "rgb", "*.tif")
+    cfg["HSI_sensor_pool"] = os.path.join(fixtures_dir, "hsi", "*.tif")
+    cfg["CHM_pool"] = os.path.join(fixtures_dir, "chm", "*.tif")
+    cfg["min_train_samples"] = 1
+    cfg["min_test_samples"] = 1
+    cfg["crop_dir"] = artifact
+    cfg["data_dir"] = fixtures_dir
+    cfg["bands"] = 8
+    cfg["classes"] = 3
+    cfg["top_k"] = 1
+    cfg["convert_h5"] = False
+    cfg["plot_n_individuals"] = 0
+    cfg["megaplot_dir"] = None
+    cfg["use_data_commit"] = "artifact"
+    cfg["dead"]["epochs"] = 1
+    cfg["pretrain_state_dict"] = None
+    cfg["preload_images"] = False
+    cfg["batch_size"] = 2
+    cfg["workers"] = 0
+    cfg["dead"]["num_workers"] = 0
+    cfg["dead"]["batch_size"] = 2
+    cfg["epochs"] = 1
+    cfg["compute_dtype"] = "float32"
+    cfg["samples_from_other_sites"] = 1000
+    return cfg

@@ -120,7 +120,9 @@ def test_predict_species_ondevice_slab_matches_whole_tile(m, config, fixtures_di
         )
 
 
-def test_predict_species_ondevice_slab_too_small_raises(m, config, fixtures_dir):
+def test_predict_species_ondevice_slab_taller_crown_auto_bumps(m, config, fixtures_dir):
+    """A crown taller than slab_rows no longer fails the tile: the slab is
+    bumped to the next slab_rows multiple and the result equals whole-tile."""
     import numpy as np
 
     from deeptreeattention_tpu.data import neon_paths
@@ -135,10 +137,14 @@ def test_predict_species_ondevice_slab_too_small_raises(m, config, fixtures_dir)
     geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
     paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
     tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
-    with pytest.raises(ValueError, match="slab_rows"):
-        predict_api.predict_species_ondevice(
-            crowns, tile_paths, m, config, slab_rows=20
-        )
+    whole = predict_api.predict_species_ondevice(crowns, tile_paths, m, config)
+    bumped = predict_api.predict_species_ondevice(
+        crowns, tile_paths, m, config, slab_rows=20
+    )
+    assert list(whole.ensembleTaxonID) == list(bumped.ensembleTaxonID)
+    np.testing.assert_allclose(
+        whole.ens_score.astype(float), bumped.ens_score.astype(float), atol=1e-6
+    )
 
 
 def test_predict_species_ondevice_from_h5(m, config, fixtures_dir, tmp_path):
@@ -199,9 +205,9 @@ def test_predict_species_ondevice_from_h5(m, config, fixtures_dir, tmp_path):
 def test_slab_guard_edge_overhanging_crown(m, config, fixtures_dir):
     """A crown whose window extends past the tile bottom: slab mode equals
     the whole-tile path when the slab reaches the tile bottom (both clamp
-    identically), and raises when it cannot."""
+    identically), and a chunk spanning more rows than one slab auto-splits
+    rather than erroring or silently clamping."""
     import numpy as np
-    import pytest as _pytest
 
     from deeptreeattention_tpu.data import neon_paths
 
@@ -231,12 +237,56 @@ def test_slab_guard_edge_overhanging_crown(m, config, fixtures_dir):
         whole.ens_score.astype(float), slab.ens_score.astype(float), atol=1e-6
     )
 
-    # one chunk spanning both crowns cannot fit a 40-row slab -> loud error,
-    # NOT silently-clamped windows
-    with _pytest.raises(ValueError, match="slab_rows"):
-        predict_api.predict_species_ondevice(
-            crowns, tile_paths, m, config, chunk=2, slab_rows=40
-        )
+    # one chunk spanning both crowns cannot fit a 40-row slab -> the chunk
+    # auto-splits (NOT a silently-clamped window, NOT an error that
+    # predict.py's per-tile try/except would turn into a skipped tile)
+    split = predict_api.predict_species_ondevice(
+        crowns, tile_paths, m, config, chunk=2, slab_rows=40
+    )
+    split = split.sort_values("individual").reset_index(drop=True)
+    assert list(whole.ensembleTaxonID) == list(split.ensembleTaxonID)
+    np.testing.assert_allclose(
+        whole.ens_score.astype(float), split.ens_score.astype(float), atol=1e-6
+    )
+
+
+def test_slab_adversarial_layout_every_chunk_overspans(m, config, fixtures_dir):
+    """Adversarial layout: crowns alternate between the tile's top and
+    bottom so EVERY chunk-of-2's row span exceeds slab_rows — the auto-split
+    path must still equal whole-tile, with no crown skipped."""
+    import numpy as np
+
+    from deeptreeattention_tpu.data import neon_paths
+
+    geoms, rows = [], []
+    for i in range(8):
+        if i % 2 == 0:
+            y0 = 4699010.0 + i  # bottom of the tile
+        else:
+            y0 = 4699170.0 + i  # top of the tile
+        x0 = 726008.0 + i * 10
+        geoms.append(geometry.box(x0, y0, x0 + 4, y0 + 5))
+        rows.append({"individual": "adv%02d" % i})
+    crowns = vector.GeoDataFrame(pd.DataFrame(rows), geometry=geoms, crs=32617)
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+    img_pool = glob.glob(config["HSI_sensor_pool"], recursive=True)
+    geo_index = neon_paths.bounds_to_geoindex(crowns.total_bounds)
+    paths = neon_paths.find_sensor_path(img_pool, geo_index=geo_index, all_years=True)
+    tile_paths = {neon_paths.year_from_tile(p): p for p in paths}
+
+    whole = predict_api.predict_species_ondevice(crowns, tile_paths, m, config, chunk=4)
+    # row-sorting puts 4 bottom crowns then 4 top crowns; chunk=3 forces a
+    # mixed middle chunk that cannot fit a 40-row slab
+    slab = predict_api.predict_species_ondevice(
+        crowns, tile_paths, m, config, chunk=3, slab_rows=40
+    )
+    whole = whole.sort_values("individual").reset_index(drop=True)
+    slab = slab.sort_values("individual").reset_index(drop=True)
+    assert list(slab.individual) == list(whole.individual)  # nothing skipped
+    assert list(whole.ensembleTaxonID) == list(slab.ensembleTaxonID)
+    np.testing.assert_allclose(
+        whole.ens_score.astype(float), slab.ens_score.astype(float), atol=1e-6
+    )
 
 
 def test_all_tpu_features_combined(m, config, fixtures_dir, tmp_path):

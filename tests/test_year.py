@@ -67,3 +67,47 @@ def test_years_have_independent_params():
     kernel = variables["params"]["year_models"]["conv1"]["conv"]["kernel"]
     assert kernel.shape[0] == 3  # stacked year axis
     assert not np.allclose(np.asarray(kernel[0]), np.asarray(kernel[1]))
+
+
+def test_sample_mode_batch_composition_invariant():
+    """In sample mode a crown's prediction is identical whether it is scored
+    alone or alongside crowns that DO carry its missing year; in batch mode
+    it is not (the reference's whole-batch skip quirk, reference
+    src/models/year.py:27-31)."""
+    rng = np.random.RandomState(3)
+    a = rng.rand(3, 11, 11, 8).astype(np.float32)
+    a[1] = 0.0  # year 1 missing for crown A
+    b = rng.rand(3, 11, 11, 8).astype(np.float32)  # all years present
+
+    for mode, invariant in (("sample", True), ("batch", False)):
+        model, variables = _make(mask_mode=mode)
+        alone = np.asarray(model.apply(variables, jnp.asarray(a[None])))[0]
+        together = np.asarray(
+            model.apply(variables, jnp.asarray(np.stack([a, b])))
+        )[0]
+        if invariant:
+            np.testing.assert_allclose(alone, together, atol=1e-6)
+        else:
+            assert not np.allclose(alone, together, atol=1e-6)
+
+
+def test_multistage_plumbs_mask_mode(m, config):
+    """The config.yml default plumbs through MultiStage to every level model
+    and survives a checkpoint round-trip."""
+    import os
+    import tempfile
+
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    assert config.get("mask_mode", "batch") == "sample"
+    assert m.mask_mode == "sample"
+    assert all(mod.mask_mode == "sample" for mod in m.models)
+    with tempfile.TemporaryDirectory() as d:
+        path = m.save_checkpoint(os.path.join(d, "ck"))
+        # a config that says "batch" does NOT override what the model
+        # trained with
+        cfg = dict(config)
+        cfg["mask_mode"] = "batch"
+        loaded = MultiStage.load_from_checkpoint(path, config=cfg)
+        assert loaded.mask_mode == "sample"
+        assert all(mod.mask_mode == "sample" for mod in loaded.models)
