@@ -5,4 +5,6 @@ from deeptreeattention_tpu.parallel.mesh import (
     replicate,
     prefetch_to_device,
     data_sharding,
+    spans_processes,
+    gather_to_host,
 )

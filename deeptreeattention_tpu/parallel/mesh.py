@@ -25,21 +25,44 @@ def make_mesh(n_devices=-1, axis="data", devices=None):
 
 
 def resolve_mesh(config=None, mesh=None):
-    """Mesh precedence: explicit mesh > config["mesh_devices"] (-1 = all
-    devices) > None (single-device)."""
+    """Mesh precedence: explicit mesh > pod mesh when running multi-process
+    (after `parallel.distributed.initialize()`) > config["mesh_devices"]
+    (-1 = all devices) > None (single-device).
+
+    config["mesh_scope"]="local" keeps the mesh to THIS host's devices even
+    in a multi-process run — the per-tile fan-out mode (each host sweeps its
+    own tile partition independently; collectives stay on local ICI), versus
+    the default global mesh where every process executes the same program in
+    lockstep (synchronized data-parallel training)."""
     if mesh is not None:
         return mesh
-    n = (config or {}).get("mesh_devices")
+    cfg = config or {}
+    local_scope = cfg.get("mesh_scope") == "local"
+    if not local_scope and jax.process_count() > 1:
+        from deeptreeattention_tpu.parallel.distributed import make_pod_mesh
+
+        return make_pod_mesh()
+    devices = jax.local_devices() if local_scope else jax.devices()
+    n = cfg.get("mesh_devices")
     if n in (None, 0, 1):
         return None
     if n == -1:
-        n = len(jax.devices())
-    return make_mesh(n) if n > 1 else None
+        n = len(devices)
+    return make_mesh(n, devices=devices) if n > 1 else None
 
 
 def data_sharding(mesh, axis=None):
-    axis = axis or mesh.axis_names[0]
+    # multi-axis (pod) meshes shard the batch over ALL axes: within-slice
+    # portions ride ICI, the outer "slice" axis maps to DCN
+    axis = axis or (
+        mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
+    )
     return NamedSharding(mesh, P(axis))
+
+
+def _spans_processes(mesh):
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
 
 
 def replicated(mesh):
@@ -59,24 +82,62 @@ def shard_batch(batch, mesh, axis=None):
 
     Pads the leading axis up to a multiple of the mesh size (padded rows are
     zeros; pair with a "mask" entry to drop them in the loss).
+
+    Every process passes the same GLOBAL batch (loaders are seeded, so hosts
+    agree). On a mesh that spans processes, `jax.device_put` cannot place
+    onto non-addressable devices — each process instead contributes its own
+    `local_batch_slice` rows via `jax.make_array_from_process_local_data`,
+    and the global array assembles without any cross-host data movement.
     """
     sharding = data_sharding(mesh, axis)
     n = mesh.devices.size
+    multihost = _spans_processes(mesh)
 
     def place(x):
         x = np.asarray(x)
-        target = ((x.shape[0] + n - 1) // n) * n
         if x.dtype.kind in "US":  # host-side strings stay on host
             return x
-        return jax.device_put(_pad_to(x, target), sharding)
+        target = ((x.shape[0] + n - 1) // n) * n
+        x = _pad_to(x, target)
+        if multihost:
+            from deeptreeattention_tpu.parallel.distributed import local_batch_slice
+
+            local = x[local_batch_slice(x.shape[0])]
+            return jax.make_array_from_process_local_data(sharding, local, x.shape)
+        return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):
         return {k: place(v) for k, v in batch.items()}
     return place(batch)
 
 
+def spans_processes(mesh):
+    """True when the mesh includes devices owned by other processes (a pod
+    mesh after jax.distributed.initialize)."""
+    return _spans_processes(mesh)
+
+
 def replicate(tree, mesh):
-    return jax.device_put(tree, replicated(mesh))
+    """Replicate a pytree onto every mesh device. On a multi-process mesh
+    each process holds the full (identical, seeded) value, so the global
+    replicated array assembles from process-local copies."""
+    sh = replicated(mesh)
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
+    return jax.device_put(tree, sh)
+
+
+def gather_to_host(x):
+    """Device array -> full host numpy array, also for arrays sharded over a
+    multi-process mesh (np.asarray alone fails on non-addressable shards)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def prefetch_to_device(iterator, size=2, mesh=None, axis=None):

@@ -38,6 +38,10 @@ def save_checkpoint(path, tree, meta=None):
     `path` may also end in .pt/.ckpt — then a directory of that name is made
     (keeps reference-style call sites valid).
     """
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # multi-host runs share a filesystem (SLURM layout, like the
+        # reference's): process 0 writes once, everyone returns the path
+        return path
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(_to_host(tree)))

@@ -77,7 +77,17 @@ def set_learning_rate(opt_state, lr):
     Stored as a strong-typed f32 array: a Python float would change the jit
     signature of every step consuming the state (weak-typed scalar) and
     silently recompile after the first scheduler update."""
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    cur = opt_state.hyperparams.get("learning_rate")
+    new = jnp.asarray(lr, jnp.float32)
+    if isinstance(cur, jax.Array) and not cur.is_fully_addressable:
+        # pod-mesh state: keep the global replicated sharding — a locally
+        # committed scalar cannot re-enter the multi-process train step
+        new = jax.make_array_from_process_local_data(
+            cur.sharding, np.asarray(new, np.float32)
+        )
+    opt_state.hyperparams["learning_rate"] = new
     return opt_state

@@ -54,8 +54,20 @@ def find_rgb_files(site, config, year="2021", bounds=OSBS_BOUNDS):
 
 
 def main():
+    # multi-host tile sweeps fan out per host (the reference's dask fan-out
+    # analogue): each process takes a stride of the tile list and runs it on
+    # a mesh of its OWN devices (mesh_scope=local) — per-tile outputs are
+    # idempotent files, so the partition needs no coordination. No-op for
+    # single-process runs.
+    from deeptreeattention_tpu.parallel import distributed
+
+    distributed.initialize()
+    import jax
+
     config = read_config("config.yml")
     config["preload_images"] = False
+    if jax.process_count() > 1:
+        config["mesh_scope"] = "local"
     experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag("prediction")
     experiment.log_parameters(config)
@@ -75,6 +87,10 @@ def main():
     tiles = find_rgb_files(site=site, config=config,
                            year=config.get("predict_year", "2021"),
                            bounds=None if site != "OSBS" else OSBS_BOUNDS)
+    if jax.process_count() > 1:
+        tiles = tiles[jax.process_index()::jax.process_count()]
+        log.info("process %d/%d takes %d tiles", jax.process_index(),
+                 jax.process_count(), len(tiles))
     log.info("%d RGB tiles for %s", len(tiles), site)
 
     # Step 1: crowns + prediction crops per tile (idempotent). The dead

@@ -1,14 +1,20 @@
-"""Subprocess body for the two-process jax.distributed smoke test.
+"""Subprocess body for the multi-process jax.distributed tests.
 
-Usage: python tests/distributed_worker.py <process_id> <num_processes> <port>
-Prints "DISTOK <total>" where total is a cross-process all-reduce result.
+Usage: python tests/distributed_worker.py <process_id> <num_processes> <port> [mode]
+
+Modes:
+  allreduce  (default) — pod-mesh all-reduce smoke; prints "DISTOK <total>".
+  multistage — REAL production path: MultiStage.fit(fast_dev_run) over a pod
+      mesh spanning both OS processes (resolve_mesh auto-detects the pod,
+      shard_batch assembles global batches from process-local rows); prints
+      "MSLOSS <train losses>|<val losses>" for equality checks against the
+      single-process run.
 """
+import os
 import sys
 
 
-def main():
-    process_id, num_processes, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-
+def _init(process_id, num_processes, port):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -22,6 +28,13 @@ def main():
         process_id=process_id,
     )
     assert jax.process_count() == num_processes
+    return jax
+
+
+def allreduce(process_id, num_processes, port):
+    jax = _init(process_id, num_processes, port)
+    from deeptreeattention_tpu.parallel import distributed as D
+
     mesh = D.make_pod_mesh()
     assert mesh.devices.size == 2 * num_processes, mesh.devices.shape
 
@@ -41,6 +54,52 @@ def main():
     sl = D.local_batch_slice(8)
     assert sl == slice(4 * process_id, 4 * process_id + 4), sl
     print("DISTOK {:.1f}".format(total), flush=True)
+
+
+def multistage(process_id, num_processes, port):
+    jax = _init(process_id, num_processes, port)
+
+    from tests.make_fixtures import fixture_config
+
+    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    cfg = fixture_config(fixtures_dir)
+    # divisible by the 4-device pod mesh so shard_batch adds no padding rows
+    # (padding would shift BN batch statistics vs the single-process run;
+    # the Loader's own pad-to-batch_size is identical in both runs)
+    cfg["batch_size"] = 4
+
+    from deeptreeattention_tpu.data.datamodule import TreeData
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+    from deeptreeattention_tpu.parallel import spans_processes
+
+    artifact = os.path.join(fixtures_dir, "artifact")
+    dm = TreeData(
+        csv_file=os.path.join(artifact, "train.csv"),
+        config=cfg, data_dir=artifact, debug=True,
+    )
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=cfg)
+    # resolve_mesh must have auto-built the pod mesh over BOTH processes
+    assert m.mesh is not None and m.mesh.devices.size == 2 * num_processes, m.mesh
+    assert spans_processes(m.mesh)
+
+    history = m.fit(fast_dev_run=True)
+    rec = history[0]
+    print(
+        "MSLOSS "
+        + ",".join("%.6f" % l for l in rec["train_loss"])
+        + "|"
+        + ",".join("%.6f" % l for l in rec["val_loss"]),
+        flush=True,
+    )
+
+
+def main():
+    process_id, num_processes, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "allreduce"
+    if mode == "multistage":
+        multistage(process_id, num_processes, port)
+    else:
+        allreduce(process_id, num_processes, port)
 
 
 if __name__ == "__main__":

@@ -25,12 +25,8 @@ def test_local_batch_slice_single_process():
     assert (sl.start, sl.stop) == (0, 128)
 
 
-def test_two_process_distributed_allreduce(tmp_path):
-    """Real jax.distributed: two OS processes, 2 CPU devices each, one
-    coordinator, a cross-process all-reduce over the pod mesh, and
-    local_batch_slice sharding — initialize/make_pod_mesh beyond world
-    size 1 (reference's dask cluster analogue, exercised like its
-    test_generate local-Client test)."""
+def _run_two_workers(mode, timeout=300):
+    """Spawn 2 coordinator-connected worker processes; return their stdouts."""
     import os
     import socket
     import subprocess
@@ -50,15 +46,56 @@ def test_two_process_distributed_allreduce(tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "distributed_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), "2", port],
+            [sys.executable, worker, str(i), "2", port, mode],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for i in range(2)
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err[-2000:]
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, err[-3000:]
         outs.append(out)
+    return outs
+
+
+def test_two_process_distributed_allreduce():
+    """Real jax.distributed: two OS processes, 2 CPU devices each, one
+    coordinator, a cross-process all-reduce over the pod mesh, and
+    local_batch_slice sharding — initialize/make_pod_mesh beyond world
+    size 1 (reference's dask cluster analogue, exercised like its
+    test_generate local-Client test)."""
+    outs = _run_two_workers("allreduce")
     # sum(range(4)) == 6 reduced across both processes
     assert all("DISTOK 6.0" in o for o in outs), outs
+
+
+def test_two_process_multistage_fit_matches_single(dm, config):
+    """THE production multi-host path: MultiStage.fit(fast_dev_run) runs in
+    two OS processes on one pod mesh (resolve_mesh auto-detect, global
+    batches assembled from process-local rows) and its per-level train/val
+    losses equal the single-process single-device run."""
+    import numpy as np
+
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    # single-process reference, no mesh; batch_size matches the workers'
+    # (divisible by their 4-device pod mesh -> identical batch contents)
+    cfg = dict(config)
+    cfg["mesh_devices"] = 1
+    cfg["batch_size"] = 4
+    ref = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns, config=cfg)
+    rec = ref.fit(fast_dev_run=True)[0]
+
+    outs = _run_two_workers("multistage", timeout=900)
+    lines = [
+        l for o in outs for l in o.splitlines() if l.startswith("MSLOSS ")
+    ]
+    assert len(lines) == 2, outs
+    # both processes observed identical (replicated) losses
+    assert lines[0] == lines[1], lines
+    train_s, val_s = lines[0][len("MSLOSS "):].split("|")
+    pod_train = [float(x) for x in train_s.split(",")]
+    pod_val = [float(x) for x in val_s.split(",")]
+    np.testing.assert_allclose(pod_train, rec["train_loss"], atol=2e-4)
+    np.testing.assert_allclose(pod_val, rec["val_loss"], atol=2e-4)

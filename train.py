@@ -25,7 +25,24 @@ def main():
     git_branch = sys.argv[1] if len(sys.argv) > 1 else "local"
     git_commit = sys.argv[2] if len(sys.argv) > 2 else "none"
 
+    # pod/multi-slice runs: one call per host before any jax use (no-op for
+    # single-process; SLURM_NTASKS/SLURM_PROCID are picked up automatically,
+    # like the reference's SLURM-provisioned cluster, reference train.py:36).
+    # resolve_mesh then spans all hosts and training is synchronized
+    # data-parallel over the global batch.
+    from deeptreeattention_tpu.parallel import distributed
+
+    distributed.initialize()
+
     config = read_config("config.yml")
+    import jax
+
+    if jax.process_count() > 1 and not config.get("use_data_commit"):
+        raise SystemExit(
+            "multi-host training requires use_data_commit: build the data "
+            "artifact once (single host, cluster.pool fan-out), then launch "
+            "the pod run against it"
+        )
     experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag(git_branch)
     experiment.log_parameter("git branch", git_branch)

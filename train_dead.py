@@ -14,6 +14,11 @@ log = get_logger("train_dead")
 
 
 def main():
+    # no-op single-process; on a pod every host joins the same runtime so
+    # jax.devices()/process_index are coherent with the other entry points
+    from deeptreeattention_tpu.parallel import distributed
+
+    distributed.initialize()
     config = read_config("config.yml")
     experiment = comet_experiment(project_name="DeepTreeAttention-TPU", workspace=config.get("comet_workspace"))
     experiment.add_tag("DeadAlive")
