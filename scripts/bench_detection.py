@@ -1,0 +1,96 @@
+"""Detection-quality benchmark: P/R/F1 over synthetic 120-crown scenes.
+
+Measures the classical CrownDetector and the trained CenterNet
+(LearnedDetector) against known ground truth — precision, recall, F1 and
+mean matched IoU per seed, plus the aggregate — and writes
+BENCH_DETECTION.json at the repo root (driver-parseable, VERDICT round-2
+item 5).
+
+    DTA_PLATFORM=cpu python scripts/bench_detection.py
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deeptreeattention_tpu.data.detection import CrownDetector
+from deeptreeattention_tpu.data.synthetic import detection_prf, make_forest_scene
+from deeptreeattention_tpu.models.detector import LearnedDetector
+
+RES = 0.5
+EVAL_SEEDS = (0, 1, 2)
+TRAIN_SEEDS = range(10, 14)
+
+
+def crops(scene_seeds, patch=96, crops_per_scene=30, seed=0):
+    rng = np.random.RandomState(seed)
+    scenes, blists = [], []
+    for s in scene_seeds:
+        img, gt = make_forest_scene(n_crowns=120, size=512, res=RES, seed=s)
+        for _ in range(crops_per_scene):
+            r0 = rng.randint(0, 512 - patch + 1)
+            c0 = rng.randint(0, 512 - patch + 1)
+            bs = []
+            for (x0, y0, x1, y1) in gt:
+                xx0, yy0 = max(x0 - c0, 0), max(y0 - r0, 0)
+                xx1, yy1 = min(x1 - c0, patch), min(y1 - r0, patch)
+                if xx1 - xx0 > 4 and yy1 - yy0 > 4:
+                    bs.append((xx0, yy0, xx1, yy1))
+            scenes.append(img[r0:r0 + patch, c0:c0 + patch])
+            blists.append(np.asarray(bs, np.float32).reshape(-1, 4))
+    return np.stack(scenes), blists
+
+
+def evaluate(predict, name):
+    per_seed = []
+    for seed in EVAL_SEEDS:
+        img, gt = make_forest_scene(n_crowns=120, size=512, res=RES, seed=seed)
+        boxes = predict(img)
+        m = detection_prf(
+            boxes[["xmin", "ymin", "xmax", "ymax"]].values, gt,
+            scores=boxes.score.values,
+        )
+        m["seed"] = seed
+        per_seed.append(m)
+        print("  seed {}: P {:.3f} R {:.3f} F1 {:.3f} (IoU {:.3f}, {} pred / {} gt)".format(
+            seed, m["precision"], m["recall"], m["f1"],
+            m["mean_matched_iou"], m["n_pred"], m["n_gt"]))
+    agg = {
+        "precision": float(np.mean([m["precision"] for m in per_seed])),
+        "recall": float(np.mean([m["recall"] for m in per_seed])),
+        "f1": float(np.mean([m["f1"] for m in per_seed])),
+        "mean_matched_iou": float(np.mean([m["mean_matched_iou"] for m in per_seed])),
+        "n_gt_total": int(sum(m["n_gt"] for m in per_seed)),
+    }
+    print("{}: P {precision:.3f} R {recall:.3f} F1 {f1:.3f} over {n_gt_total} crowns".format(
+        name, **agg))
+    return {"aggregate": agg, "per_seed": per_seed}
+
+
+def main():
+    results = {"resolution_m": RES, "scene": "make_forest_scene(n_crowns=120, size=512)"}
+
+    print("CrownDetector (classical, crown_diameter=5):")
+    det = CrownDetector(crown_diameter=5.0)
+    results["crown_detector"] = evaluate(
+        lambda img: det.predict_array(img, res=RES), "CrownDetector")
+
+    print("LearnedDetector (CenterNet, trained on scenes 10-13):")
+    scenes, blists = crops(TRAIN_SEEDS)
+    ldet = LearnedDetector(width=16, patch=96, threshold=0.25)
+    losses = ldet.fit(scenes, blists, steps=600, batch_size=8)
+    results["learned_detector"] = evaluate(ldet.predict_image, "LearnedDetector")
+    results["learned_detector"]["train_loss_first_last"] = [losses[0], losses[-1]]
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH_DETECTION.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
