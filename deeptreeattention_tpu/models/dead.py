@@ -49,15 +49,24 @@ def rgb_transform_np(image, size=224):
     return np.ascontiguousarray(x)
 
 
-@jax.jit
-def _dead_windows(tile, rect):
-    """Crown windows gathered from a device-resident RGB tile, boundless
-    zero-fill + ImageNet normalize (module-level jit: compiled once per
-    shape for the whole landscape sweep)."""
-    from deeptreeattention_tpu.ops.windows import crown_resize_windows
+from functools import partial
 
-    win = crown_resize_windows(tile, rect, size=224, boundless=True)
-    x = win.astype(jnp.float32) / 255.0
+
+@partial(jax.jit, static_argnums=(2,))
+def _dead_windows(tile, rect, slab=256):
+    """Crown windows from a device-resident RGB tile, boundless zero-fill +
+    ImageNet normalize (module-level jit: compiled once per shape for the
+    whole landscape sweep).
+
+    Uses the selection-matmul window path (ops.windows.crown_resize_windows_mm,
+    exact-parity with the gather): the 224x224 advanced-index gather was THE
+    dead-scoring bottleneck — 2.5k windows/s alone vs 4.2k/s for the whole
+    ResNet-50 forward (scripts/bench_dead_probe.py). slab is the static
+    crown-size bound in px (callers round the sweep max up to 64)."""
+    from deeptreeattention_tpu.ops.windows import crown_resize_windows_mm
+
+    win = crown_resize_windows_mm(tile, rect, size=224, slab=slab)
+    x = win / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
@@ -325,6 +334,12 @@ class AliveDead:
             ).round()
             rects[i] = (win.row_off, win.col_off, win.height, win.width)
 
+        # static slab: the sweep's max crown dimension rounded up to 64 (one
+        # compiled shape per 64-px crown-size class across the landscape)
+        slab = 64
+        if n:
+            slab = int(max(64, -(-int(rects[:, 2:].max()) // 64) * 64))
+
         def gather(path, rect_chunk):
             # pad the rect list to batch_size so _dead_windows compiles for
             # ONE shape across the whole sweep; the slice drops padding
@@ -332,7 +347,7 @@ class AliveDead:
             if k < batch_size:
                 pad = np.repeat(rect_chunk[:1], batch_size - k, axis=0)
                 rect_chunk = np.concatenate([rect_chunk, pad])
-            return _dead_windows(tiles.get(path), rect_chunk)[:k]
+            return _dead_windows(tiles.get(path), rect_chunk, slab)[:k]
 
         # batches follow crown order exactly (matching predict_dataset's
         # partitioning, so batch-BN statistics agree even across tiles)

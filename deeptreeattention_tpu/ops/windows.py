@@ -79,6 +79,63 @@ def crown_resize_windows(tile, bounds_px, size=11, boundless=False):
     return out
 
 
+def crown_resize_windows_mm(tile, bounds_px, size=224, slab=256,
+                            dtype=jnp.bfloat16):
+    """Selection-matmul formulation of crown_resize_windows(boundless=True)
+    for LARGE window sizes (the alive/dead 224x224 path).
+
+    The advanced-indexing gather dominates dead scoring on TPU: measured
+    2.5k windows/s for gather+normalize alone vs 4.2k/s for the whole
+    ResNet-50 forward (scripts/bench_dead_probe.py). Here each crown's
+    bounding slab moves with ONE dynamic-slice DMA and the NEAREST resize
+    becomes two one-hot matmuls (row-select [size, S] @ slab [S, S, C] @
+    col-select [S, size]) — ~60 MFLOP/crown of MXU work instead of a 50k-
+    offset gather.
+
+    EXACT-parity with the gather path: one-hot rows are all-zero for
+    out-of-tile indices (rasterio boundless zero-fill), uint8 values and
+    one-hot weights are exact in bf16, and each output accumulates exactly
+    one product in the f32 accumulator.
+
+    slab: static bound on crown height/width in px (round the sweep's max
+    rect dimension up; predict_crowns_ondevice does this per call).
+    """
+    h, w, c = tile.shape
+    bounds_px = jnp.asarray(bounds_px, jnp.int32)
+    r0, c0 = bounds_px[:, 0], bounds_px[:, 1]
+    hh = jnp.maximum(bounds_px[:, 2], 1)
+    ww = jnp.maximum(bounds_px[:, 3], 1)
+    grid = jnp.arange(size)
+    rows = r0[:, None] + (grid[None, :] * hh[:, None]) // size  # [N, size] abs
+    cols = c0[:, None] + (grid[None, :] * ww[:, None]) // size
+
+    sr = min(slab, h)
+    sc = min(slab, w)
+    start_r = jnp.clip(r0, 0, h - sr)
+    start_c = jnp.clip(c0, 0, w - sc)
+    rel_r = rows - start_r[:, None]
+    rel_c = cols - start_c[:, None]
+    # in-tile AND inside the slab; everything else zero-fills via an
+    # all-zero one-hot row (out-of-slab in-tile rows cannot happen when
+    # slab >= the crown dimension — the caller guarantees that)
+    ok_r = (rows >= 0) & (rows < h) & (rel_r >= 0) & (rel_r < sr)
+    ok_c = (cols >= 0) & (cols < w) & (rel_c >= 0) & (rel_c < sc)
+    rsel = ((rel_r[:, :, None] == jnp.arange(sr)[None, None, :]) & ok_r[:, :, None])
+    csel = ((rel_c[:, :, None] == jnp.arange(sc)[None, None, :]) & ok_c[:, :, None])
+
+    def one(a, b):
+        return jax.lax.dynamic_slice(tile, (a, b, 0), (sr, sc, c))
+
+    slabs = jax.vmap(one)(start_r, start_c).astype(dtype)  # [N, sr, sc, C]
+    # rows: [N, size, sr] @ [N, sr, sc*C] -> [N, size, sc, C]
+    y = jnp.einsum("nps,nsqc->npqc", rsel.astype(dtype), slabs,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    # cols: [N, size, sc, C] x [N, size(out), sc] -> [N, size, size, C]
+    out = jnp.einsum("npqc,ntq->nptc", y, csel.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    return out
+
+
 def crown_pixel_anchors(bounds_list, transform, size=11, budget=None):
     """Host-side: crown UTM bounds -> (anchors [N,2], crown_ids [N]).
 

@@ -88,3 +88,36 @@ def test_int16_tile_parity_with_float32():
     cf = W.crown_resize_windows(jnp.asarray(tile_f), rect)
     assert ci.dtype == jnp.int16
     np.testing.assert_array_equal(np.asarray(ci).astype(np.float32), np.asarray(cf))
+
+
+def test_crown_resize_windows_mm_exact_parity():
+    """Selection-matmul window path == gather path, bit-exact, including
+    negative/overhanging boundless rects (the dead-scoring hot fix,
+    scripts/bench_dead_probe.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeptreeattention_tpu.ops.windows import (
+        crown_resize_windows,
+        crown_resize_windows_mm,
+    )
+
+    rng = np.random.RandomState(3)
+    tile = jnp.asarray(rng.randint(0, 255, (150, 170, 3)), jnp.uint8)
+    rect = np.array(
+        [
+            [10, 20, 50, 60],
+            [-20, -10, 40, 33],    # overhangs top/left -> zero fill
+            [120, 140, 60, 60],    # overhangs bottom/right -> zero fill
+            [0, 0, 1, 1],
+            [40, 50, 128, 128],    # crown == slab
+            [149, 169, 4, 4],      # bottom-right corner
+        ],
+        np.int32,
+    )
+    for size in (224, 96):
+        ref = np.asarray(
+            crown_resize_windows(tile, rect, size=size, boundless=True)
+        ).astype(np.float32)
+        mm = np.asarray(crown_resize_windows_mm(tile, rect, size=size, slab=128))
+        np.testing.assert_array_equal(ref, mm)
