@@ -102,16 +102,27 @@ class Loader:
     "label": [B] (train), "mask": [B] bool (True = real sample)}. When
     `pad_to_batch` is set, the final partial batch is padded so jit sees one
     shape; padded rows carry mask=False and are excluded downstream.
+
+    workers > 0 decodes items through a readahead thread pool (the
+    replacement for the reference's DataLoader worker processes,
+    reference src/models/multi_stage.py:221-246): with preload off, crop
+    decode otherwise runs serially on one core while the device idles.
+    Items are submitted in index order and consumed in index order, so
+    batch ordering and content are identical to the serial path
+    (tests/test_data.py::test_loader_workers_identical).
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0, pad_to_batch=False,
-                 drop_last=False):
+                 drop_last=False, workers=0):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.pad = pad_to_batch
         self.drop_last = drop_last
+        # a preloaded dataset is pure slicing — threads would only add
+        # overhead
+        self.workers = 0 if getattr(dataset, "_preloaded", None) is not None else int(workers or 0)
 
     def __len__(self):
         n = len(self.ds)
@@ -119,36 +130,72 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _items(self, idx):
+        if not self.workers:
+            for i in idx:
+                yield self.ds[int(i)]
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.workers) as ex:
+            pending = collections.deque()
+            it = iter(idx)
+
+            def fill():
+                while len(pending) < self.workers * 4:
+                    try:
+                        i = next(it)
+                    except StopIteration:
+                        return
+                    pending.append(ex.submit(self.ds.__getitem__, int(i)))
+
+            fill()
+            while pending:
+                yield pending.popleft().result()  # in-order consumption
+                fill()
+
     def __iter__(self):
         idx = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(idx)
         bs = self.batch_size
-        for start in range(0, len(idx), bs):
-            chunk = idx[start : start + bs]
-            if self.drop_last and len(chunk) < bs:
-                return
-            items = [self.ds[i] for i in chunk]
-            individuals = np.array([it[0] for it in items])
-            images = np.stack([it[1] for it in items])
-            batch = {"individual": individuals, "HSI": images}
-            if self.ds.train:
-                batch["label"] = np.array([it[2] for it in items], np.int32)
-            if getattr(self.ds, "sites", None) is not None:
-                batch["site"] = np.array(
-                    [int(self.ds.sites.get(i, 0)) for i in individuals], np.int32
-                )
-            mask = np.ones(len(items), bool)
-            if self.pad and len(items) < bs:
-                padn = bs - len(items)
-                batch["HSI"] = np.concatenate(
-                    [batch["HSI"], np.zeros((padn,) + images.shape[1:], images.dtype)]
-                )
-                if "label" in batch:
-                    batch["label"] = np.concatenate([batch["label"], np.zeros(padn, np.int32)])
-                if "site" in batch:
-                    batch["site"] = np.concatenate([batch["site"], np.zeros(padn, np.int32)])
-                batch["individual"] = np.concatenate([individuals, np.array(["__pad__"] * padn)])
-                mask = np.concatenate([mask, np.zeros(padn, bool)])
-            batch["mask"] = mask
-            yield batch
+        items = []
+        n_total = len(idx)
+        emitted = 0
+        for it in self._items(idx):
+            items.append(it)
+            emitted += 1
+            if len(items) == bs:
+                yield self._collate(items)
+                items = []
+            elif emitted == n_total:
+                break
+        if items and not self.drop_last:
+            yield self._collate(items)
+
+    def _collate(self, items):
+        bs = self.batch_size
+        individuals = np.array([it[0] for it in items])
+        images = np.stack([it[1] for it in items])
+        batch = {"individual": individuals, "HSI": images}
+        if self.ds.train:
+            batch["label"] = np.array([it[2] for it in items], np.int32)
+        if getattr(self.ds, "sites", None) is not None:
+            batch["site"] = np.array(
+                [int(self.ds.sites.get(i, 0)) for i in individuals], np.int32
+            )
+        mask = np.ones(len(items), bool)
+        if self.pad and len(items) < bs:
+            padn = bs - len(items)
+            batch["HSI"] = np.concatenate(
+                [batch["HSI"], np.zeros((padn,) + images.shape[1:], images.dtype)]
+            )
+            if "label" in batch:
+                batch["label"] = np.concatenate([batch["label"], np.zeros(padn, np.int32)])
+            if "site" in batch:
+                batch["site"] = np.concatenate([batch["site"], np.zeros(padn, np.int32)])
+            batch["individual"] = np.concatenate([individuals, np.array(["__pad__"] * padn)])
+            mask = np.concatenate([mask, np.zeros(padn, bool)])
+        batch["mask"] = mask
+        return batch

@@ -53,3 +53,36 @@ def test_predict_mode_dataset(dm, config):
     ds = TreeDataset(df=dm.test, config=config, train=False)
     out = ds[0]
     assert len(out) == 2  # no label
+
+
+def test_loader_workers_identical(dm, config):
+    """Thread-pool decode (workers>0) yields byte-identical batches in the
+    same order as the serial path — decode parallelism must not change
+    results (VERDICT round-2 item 7)."""
+    import numpy as np
+
+    from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
+
+    cfg = dict(config)
+    cfg["preload_images"] = False  # the path workers exist for
+    ds = TreeDataset(df=dm.train, config=cfg, train=True)
+    serial = list(Loader(ds, batch_size=3, shuffle=True, seed=7, pad_to_batch=True))
+    threaded = list(Loader(ds, batch_size=3, shuffle=True, seed=7, pad_to_batch=True,
+                           workers=4))
+    assert len(serial) == len(threaded) > 0
+    for a, b in zip(serial, threaded):
+        assert list(a["individual"]) == list(b["individual"])
+        np.testing.assert_array_equal(a["HSI"], b["HSI"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+
+
+def test_loader_workers_noop_when_preloaded(dm, config):
+    from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
+
+    cfg = dict(config)
+    cfg["preload_images"] = True
+    ds = TreeDataset(df=dm.train, config=cfg, train=True)
+    loader = Loader(ds, batch_size=4, workers=8)
+    assert loader.workers == 0  # preloaded data is pure slicing
+    assert len(list(loader)) == len(loader)
