@@ -122,6 +122,7 @@ class TreeData:
             self.crowns.to_file(os.path.join(self.data_dir, "crowns.shp"))
             self._log_param("Species after crown prediction", self.crowns.taxonID.nunique())
             self._log_param("Samples after crown prediction", len(self.crowns))
+            self._score_and_log_dead()
         else:
             self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
             self.canopy_points = vector.read_file(
@@ -169,6 +170,68 @@ class TreeData:
             len(self.train), self.train.label.nunique(), self.train.site.nunique(),
             len(self.test), self.test.label.nunique(),
         )
+
+    def _score_and_log_dead(self):
+        """Optional ETL-time alive/dead scoring + dead-crown image logging
+        (reference src/data.py:405-419 — there the feature is latent:
+        `predicted_dead` is never assigned, so its loop always lands in the
+        except; here it works when config["dead_model"] points at an
+        AliveDead checkpoint). Sets self.predicted_dead; logs a review image
+        per predicted-dead crown to the experiment."""
+        self.predicted_dead = pd.DataFrame()
+        cfg = self.config
+        if not cfg.get("dead_model"):
+            return
+        try:
+            with self.timer.stage("dead_scoring"):
+                from deeptreeattention_tpu.models import dead as dead_mod
+                from deeptreeattention_tpu.predict.tiles import predict_dead
+
+                model = dead_mod.AliveDead.load_from_checkpoint(
+                    cfg["dead_model"], config=cfg
+                )
+                crowns = self.crowns[self.crowns.RGB_tile.notna()] \
+                    if "RGB_tile" in self.crowns.columns else self.crowns
+                if crowns.empty:
+                    return
+                label, score = predict_dead(
+                    crowns=crowns, config=cfg, dead_model=model
+                )
+                self.crowns.loc[crowns.index, "dead_label"] = label
+                self.crowns.loc[crowns.index, "dead_score"] = score
+                self._log_param("Species after dead filtering", self.crowns.taxonID.nunique())
+                self._log_param("Samples after dead filtering", len(self.crowns))
+                dead_rows = crowns[np.asarray(label) == 1]
+                self.predicted_dead = dead_rows.assign(
+                    dead_label=np.asarray(label)[np.asarray(label) == 1],
+                    dead_score=np.asarray(score)[np.asarray(label) == 1],
+                )
+            if self.comet_logger is None or self.predicted_dead.empty:
+                return
+            exp = getattr(self.comet_logger, "experiment", self.comet_logger)
+            from deeptreeattention_tpu.data import neon_paths
+            from deeptreeattention_tpu.geo import raster
+
+            rgb_pool = glob.glob(cfg["rgb_sensor_pool"], recursive=True)
+            for _, row in self.predicted_dead.iterrows():
+                left, bottom, right, top = row["geometry"].bounds
+                img_path = neon_paths.find_sensor_path(
+                    lookup_pool=rgb_pool, bounds=row["geometry"].bounds
+                )
+                with raster.open_raster(img_path) as src:
+                    img = src.read_bounds(
+                        left - 4, bottom - 4, right + 4, top + 4, boundless=True
+                    )
+                img = np.moveaxis(img, 0, -1)
+                exp.log_image(
+                    image_data=img,
+                    name="Dead: {} ({:.2f}) {}".format(
+                        row["dead_label"], row["dead_score"], row["individual"]
+                    ),
+                )
+        except Exception:
+            # best-effort, like every reference ETL observability hook
+            log.warning("ETL dead scoring/logging failed", exc_info=True)
 
     def _load_artifact(self):
         log.info("Loading previous data commit from %s", self.data_dir)

@@ -79,3 +79,39 @@ def test_full_etl_regeneration(raw_csv, config, tmp_path):
     # crops exist on disk
     sample = dm.train.image_path.iloc[0]
     assert os.path.exists(os.path.join(cfg["crop_dir"], sample))
+
+
+def test_etl_dead_scoring_and_image_logging(raw_csv, config, tmp_path):
+    """ETL-time alive/dead scoring + dead-crown review images (reference
+    src/data.py:405-419, where the feature is latent dead code; here it
+    runs when config["dead_model"] is set)."""
+    from deeptreeattention_tpu.models import dead as dead_mod
+    from deeptreeattention_tpu.utils.logging import Experiment
+
+    dead_model = dead_mod.AliveDead(config=config, depth=18)
+    ckpt = dead_model.save_checkpoint(str(tmp_path / "dead_ckpt"))
+
+    cfg = dict(config)
+    cfg["use_data_commit"] = None
+    cfg["replace"] = True
+    cfg["new_train_test_split"] = True
+    cfg["iterations"] = 1
+    cfg["crop_dir"] = str(tmp_path / "crops")
+    cfg["dead_model"] = ckpt
+    os.makedirs(cfg["crop_dir"], exist_ok=True)
+    exp = Experiment(savedir=str(tmp_path / "exp"))
+
+    dm = TreeData(csv_file=raw_csv, config=cfg, data_dir=str(tmp_path),
+                  debug=True, comet_logger=exp)
+    assert {"dead_label", "dead_score"} <= set(dm.crowns.columns)
+    assert dm.crowns.dead_label.notna().any()
+    assert hasattr(dm, "predicted_dead")
+    # an image logged per predicted-dead crown (an untrained net labels
+    # some of the fixture crowns dead; if none, nothing to log)
+    import glob as _glob
+
+    n_dead = len(dm.predicted_dead)
+    logged = _glob.glob(os.path.join(str(tmp_path / "exp"), "**", "*Dead*"),
+                        recursive=True)
+    if n_dead:
+        assert len(logged) == n_dead, (n_dead, logged)
