@@ -101,19 +101,21 @@ def main():
     # no published reference training throughput exists (BASELINE.md);
     # vs_baseline uses the inference north star's scale /3 (fwd+bwd ~ 3x fwd)
     target = 50000.0 / 3
-    print(
-        json.dumps(
-            {
-                "metric": "multistage_train_throughput",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/sec/chip (batch {} x {} years, 11x11x349, fwd+bwd+adam)".format(
-                    BATCH, YEARS
-                ),
-                "vs_baseline": round(samples_per_sec / target, 3),
-                "steps_per_sec": round(steps_per_sec, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "multistage_train_throughput",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/sec/chip (batch {} x {} years, 11x11x349, fwd+bwd+adam)".format(
+            BATCH, YEARS
+        ),
+        "vs_baseline": round(samples_per_sec / target, 3),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "small_shapes": small,
+    }
+    print(json.dumps(rec))
+    # driver-visible artifact (VERDICT round-2 item 5), not just stdout prose
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TRAIN.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -77,16 +77,18 @@ def main():
     crowns_per_sec = N_CROWNS / min(ts)
     # a 1 km^2 OSBS tile yields ~50-100k candidate crowns
     minutes_per_km2 = 100000 / crowns_per_sec / 60
-    print(
-        json.dumps(
-            {
-                "metric": "tile_inference_crowns_per_sec",
-                "value": round(crowns_per_sec, 1),
-                "unit": "crowns/sec (5 levels x 3 years, on-device windows)",
-                "minutes_per_km2_at_100k_crowns": round(minutes_per_km2, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "tile_inference_crowns_per_sec",
+        "value": round(crowns_per_sec, 1),
+        "unit": "crowns/sec (5 levels x 3 years, on-device windows)",
+        "minutes_per_km2_at_100k_crowns": round(minutes_per_km2, 3),
+    }
+    print(json.dumps(rec))
+    # driver-visible artifact (VERDICT round-2 item 5)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH_TILE.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":
