@@ -35,11 +35,11 @@ def main():
     BANDS_RAW = 369
     BANDS = 349
     CLASSES = 20
-    # Batch 8192 measures +23% over 4096 (780.8k vs 635k patches/s with the
-    # fused path, docs/PERF.md). The compilation cache at /tmp/dta_jax_cache
-    # is pre-seeded for this shape (verified to survive across processes in
-    # round 2); a cold compile worst-cases ~20 min through the relay.
-    BATCH = int(os.environ.get("DTA_BENCH_BATCH", 8192))
+    # Batch sweep: 4096 -> 635k, 8192 -> 781k, 16384 -> 813k patches/s
+    # (fused path; docs/PERF.md rounds 2-3) — 16384 is the knee. The
+    # compilation cache at /tmp/dta_jax_cache is pre-seeded for this shape;
+    # a cold compile worst-cases ~20 min through the relay.
+    BATCH = int(os.environ.get("DTA_BENCH_BATCH", 16384))
     ITERS = 8
 
     from deeptreeattention_tpu.models.fused import hang2020_eval

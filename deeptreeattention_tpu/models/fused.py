@@ -265,6 +265,122 @@ def learned_ensemble_eval(variables, images, mask_mode="batch",
     return total / count
 
 
+def multistage_eval(variables_list, images, mask_mode="batch",
+                    dtype=jnp.bfloat16):
+    """ALL hierarchy levels in one fused forward (round-3: the 5-level
+    model stack bounds tile inference at ~115k crowns/s, scripts/
+    bench_tile_probe.py, because each level's stage-1 conv feeds only
+    N=32 of the MXU's 128 lanes).
+
+    Every level consumes the SAME images, so the levels' year-ladders fuse
+    the way hang2020_eval fuses its two branches: stage-1 runs per year as
+    ONE conv with level-concatenated output channels (N = L*32 = 160 for 5
+    levels — full lane width), stages 2/3 as groups=Y*L convs, attention
+    and classifier Denses as (level, year)-stacked einsums. Math-identical
+    to running each LearnedEnsemble separately (tests/test_fused_eval.py).
+
+    variables_list: one standard LearnedEnsemble variables tree per level
+    (class counts may differ). images: [B, Y, H, W, C]. Returns a list of
+    per-level logits [B, classes_l].
+    """
+    L = len(variables_list)
+    B, Y, H, W, C = images.shape
+    x = images.astype(dtype)
+
+    # fold BN per (level, year) and pre-stack
+    folded = []  # [stage][level] -> (k [Y,3,3,Cin,F], b [Y,F])
+    for i in range(len(STAGE_FILTERS)):
+        per_level = []
+        for v in variables_list:
+            conv = v["params"]["year_models"]["conv{}".format(i + 1)]
+            bn_s = v["batch_stats"]["year_models"]["conv{}".format(i + 1)]
+            g = conv["bn"]["scale"] / jnp.sqrt(bn_s["bn"]["var"] + 1e-5)
+            k = conv["conv"]["kernel"] * g[:, None, None, None, :]
+            b = (conv["conv"]["bias"] - bn_s["bn"]["mean"]) * g + conv["bn"]["bias"]
+            per_level.append((k, b))
+        folded.append(per_level)
+
+    cur = None
+    pooled_gated = None
+    for i, filters in enumerate(STAGE_FILTERS):
+        per_level = folded[i]
+        if i == 0:
+            # [Y, 3, 3, C, L*F]: same input per level -> one wide conv/year
+            k = jnp.concatenate([k for k, _ in per_level], axis=-1)
+            b = jnp.concatenate([b for _, b in per_level], axis=-1)  # [Y, L*F]
+            y_out = jax.vmap(
+                lambda xy, ky, by: _conv(xy, ky, by, dtype=dtype),
+                in_axes=(1, 0, 0), out_axes=3,
+            )(x, k, b)  # [B, H, W, Y, L*F]
+            y_out = y_out.reshape(B, H, W, Y * L * filters)
+        else:
+            # inputs differ per (year, level): grouped conv, channel layout
+            # (year, level, filter) matching stage-1's reshape
+            kg = jnp.concatenate(
+                [per_level[l][0][y] for y in range(Y) for l in range(L)], axis=-1
+            )
+            bg = jnp.concatenate(
+                [per_level[l][1][y] for y in range(Y) for l in range(L)]
+            )
+            y_out = _conv(cur, kg, bg, groups=Y * L, dtype=dtype)
+        y_out = jax.nn.relu(y_out)
+        if i > 0:
+            y_out = _maxpool(y_out, 2)
+        y_out = y_out.astype(dtype)
+
+        # attention per (year, level): stacked einsums
+        pooled = jnp.mean(y_out, axis=(1, 2)).reshape(B, Y, L, filters)
+        fc1_k = jnp.stack(
+            [v["params"]["year_models"]["attention_{}".format(i + 1)]
+              ["attention_fc1"]["kernel"] for v in variables_list], axis=1
+        )  # [Y, L, F, F]
+        fc1_b = jnp.stack(
+            [v["params"]["year_models"]["attention_{}".format(i + 1)]
+              ["attention_fc1"]["bias"] for v in variables_list], axis=1
+        )  # [Y, L, F]
+        fc2_k = jnp.stack(
+            [v["params"]["year_models"]["attention_{}".format(i + 1)]
+              ["attention_fc2"]["kernel"] for v in variables_list], axis=1
+        )
+        fc2_b = jnp.stack(
+            [v["params"]["year_models"]["attention_{}".format(i + 1)]
+              ["attention_fc2"]["bias"] for v in variables_list], axis=1
+        )
+        a = jax.nn.relu(
+            jnp.einsum("bylf,ylfg->bylg", pooled.astype(dtype),
+                       fc1_k.astype(dtype)) + fc1_b.astype(dtype)
+        )
+        a = jax.nn.sigmoid(
+            jnp.einsum("bylf,ylfg->bylg", a, fc2_k.astype(dtype))
+            + fc2_b.astype(dtype)
+        )
+        gate = a.reshape(B, 1, 1, Y * L * filters)
+        cur = (y_out * gate).astype(dtype)
+        if i == len(STAGE_FILTERS) - 1:
+            pooled_gated = pooled * a  # [B, Y, L, F]
+
+    # per-level classifier (class counts differ) + masked year mean
+    if mask_mode == "batch":
+        valid = jnp.any(images != 0, axis=(0, 2, 3, 4))  # [Y]
+        mask = valid[None, :, None]
+    else:
+        valid = jnp.any(images != 0, axis=(2, 3, 4))  # [B, Y]
+        mask = valid[:, :, None]
+    outs = []
+    for l, v in enumerate(variables_list):
+        cls = v["params"]["year_models"]["classifier3"]["fc1"]
+        scores = (
+            jnp.einsum("byf,yfc->byc", pooled_gated[:, :, l, :],
+                       cls["kernel"].astype(dtype))
+            + cls["bias"].astype(dtype)
+        ).astype(jnp.float32)  # [B, Y, C_l]
+        m = jnp.broadcast_to(mask.astype(scores.dtype), scores.shape)
+        total = jnp.sum(scores * m, axis=1)
+        count = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        outs.append(total / count)
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------

@@ -292,6 +292,7 @@ class MultiStage:
                 model.apply, optimizer, donate=True, remat=cfg.get("remat", False)))
             self._eval_steps.append(steps.make_eval_step(self._eval_apply(model)))
             self._val_steps.append(steps.make_loss_eval_step(model.apply))
+        self._build_eval_all()
 
     def _eval_apply(self, model):
         """Inference forward: the MXU-fused eval path (models/fused.py) when
@@ -299,6 +300,32 @@ class MultiStage:
         from deeptreeattention_tpu.models import fused
 
         return fused.eval_apply(model, self.config)
+
+    def _build_eval_all(self):
+        """One jitted forward for ALL levels (fused.multistage_eval): the
+        levels share their input, so their year-ladders fuse into
+        full-lane-width convs — the 5-level stack was the tile-inference
+        bound (docs/PERF.md round 3). None when fused_inference is off."""
+        if not self.config.get("fused_inference"):
+            self._eval_all = None
+            return
+        from deeptreeattention_tpu.models import fused
+
+        mask_mode = getattr(self, "mask_mode", "batch")
+        dtype = (
+            jnp.bfloat16
+            if self.config.get("compute_dtype") == "bfloat16"
+            else jnp.float32
+        )
+
+        @jax.jit
+        def eval_all(variables_list, images):
+            outs = fused.multistage_eval(
+                variables_list, images, mask_mode=mask_mode, dtype=dtype
+            )
+            return tuple(jax.nn.softmax(o, axis=-1) for o in outs)
+
+        self._eval_all = eval_all
 
     @staticmethod
     def _load_backbone(path):
@@ -536,14 +563,19 @@ class MultiStage:
             individuals = np.asarray(batch["individual"])  # strings stay host-side
             n = len(individuals)
             mask = gather_to_host(batch["mask"]).astype(bool)[:n]
-            level_probs = []
-            for level in range(self.levels):
-                probs = self._eval_steps[level](
-                    self.variables[level]["params"],
-                    self.variables[level].get("batch_stats", {}),
-                    images,
-                )
-                level_probs.append(gather_to_host(probs)[:n][mask])
+            if getattr(self, "_eval_all", None) is not None:
+                # all levels in one fused program (full MXU lane width)
+                probs_all = self._eval_all(tuple(self.variables), images)
+                level_probs = [gather_to_host(p)[:n][mask] for p in probs_all]
+            else:
+                level_probs = []
+                for level in range(self.levels):
+                    probs = self._eval_steps[level](
+                        self.variables[level]["params"],
+                        self.variables[level].get("batch_stats", {}),
+                        images,
+                    )
+                    level_probs.append(gather_to_host(probs)[:n][mask])
             outputs.append((individuals[mask], level_probs))
         return outputs
 
@@ -746,4 +778,5 @@ class MultiStage:
                 model.apply, optimizer, donate=True, remat=cfg.get("remat", False)))
             obj._eval_steps.append(steps.make_eval_step(obj._eval_apply(model)))
             obj._val_steps.append(steps.make_loss_eval_step(model.apply))
+        obj._build_eval_all()
         return obj

@@ -345,14 +345,18 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
             # sharded batch axis + replicated params -> GSPMD partitions the
             # already-compiled eval step over the mesh
             images = jax.device_put(images, data_sharding(mesh))
-        level_probs = [
-            m._eval_steps[level](
-                m.variables[level]["params"],
-                m.variables[level].get("batch_stats", {}),
-                images,
-            )
-            for level in range(m.levels)
-        ]
+        if getattr(m, "_eval_all", None) is not None:
+            # all levels fused into one program (full MXU lane width)
+            level_probs = list(m._eval_all(tuple(m.variables), images))
+        else:
+            level_probs = [
+                m._eval_steps[level](
+                    m.variables[level]["params"],
+                    m.variables[level].get("batch_stats", {}),
+                    images,
+                )
+                for level in range(m.levels)
+            ]
         pending.append((individuals[idx[:k]], k, level_probs))
         # double buffer: block on the oldest chunk once two are in flight,
         # which also frees its slab's HBM before the next upload

@@ -62,10 +62,14 @@ def main():
         images = jnp.broadcast_to(
             x[:, None], (x.shape[0], YEARS) + x.shape[1:]
         )  # same windows per year in the bench
+        # the production eval: all 5 levels in one fused program
+        # (models/fused.multistage_eval; +41% measured, docs/PERF.md r3)
+        from deeptreeattention_tpu.models.fused import multistage_eval
+
+        outs = multistage_eval(variables_list, images)
         acc = jnp.float32(0.0)
-        for level in range(LEVELS):
-            logits = models[level].apply(variables_list[level], images)
-            acc = acc + jnp.sum(jax.nn.softmax(logits, axis=-1))
+        for o in outs:
+            acc = acc + jnp.sum(jax.nn.softmax(o, axis=-1))
         return acc
 
     float(tile_infer(variables, tile, rect))  # compile

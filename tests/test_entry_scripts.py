@@ -108,6 +108,24 @@ def test_predict_entry(ROOT, overrides, m, config, tmp_path_factory):
     shps = glob.glob(os.path.join(out_root, "results", "species_model", "*.shp"))
     assert shps, result.stdout[-3000:] + result.stderr[-2000:]
 
+    # NO TILE SKIPPED: every matched RGB tile must yield crowns + a result
+    # shapefile (predict.py's per-tile try/except must not have eaten one)
+    sys.path.insert(0, ROOT)
+    import predict as predict_entry
+
+    from deeptreeattention_tpu.utils.config import read_config
+
+    cfg_all = read_config(os.path.join(ROOT, "config.yml"), overrides=ov,
+                          parse_cli=False)
+    tiles = predict_entry.find_rgb_files(site="HARV", config=cfg_all,
+                                         year="2019", bounds=None)
+    assert len(tiles) >= 1
+    crown_shps = glob.glob(os.path.join(out_root, "results", "crowns", "*.shp"))
+    assert len(crown_shps) == len(tiles), (tiles, crown_shps)
+    assert len(shps) == len(tiles), (tiles, shps)
+    assert "failed to build crowns" not in result.stderr
+    assert "failed to generate prediction crops" not in result.stderr
+
     from deeptreeattention_tpu.geo import vector
 
     trees = vector.read_file(shps[0])

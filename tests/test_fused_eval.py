@@ -117,3 +117,57 @@ def test_learned_ensemble_fused_single_year():
     expected = model.apply(variables, images, train=False)
     got = fused.learned_ensemble_eval(variables, images, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5)
+
+
+def test_multistage_eval_cross_level_parity():
+    """fused.multistage_eval == per-level module applies (both mask modes),
+    with different class counts per level and a missing year."""
+    import jax
+    import numpy as np
+
+    from deeptreeattention_tpu.models.fused import multistage_eval
+    from deeptreeattention_tpu.models.year import LearnedEnsemble
+
+    Y, BANDS, B = 3, 16, 6
+    class_counts = [2, 2, 5, 3, 4]
+    rng = np.random.RandomState(0)
+    x = rng.rand(B, Y, 11, 11, BANDS).astype(np.float32)
+    x[1, 2] = 0.0  # missing year for one sample
+    for mode in ("batch", "sample"):
+        models, variables = [], []
+        key = jax.random.PRNGKey(0)
+        for c in class_counts:
+            m = LearnedEnsemble(years=Y, classes=c, bands=BANDS,
+                                dtype=jnp.float32, mask_mode=mode)
+            key, sub = jax.random.split(key)
+            variables.append(dict(m.init(sub, jnp.asarray(x))))
+            models.append(m)
+        ref = [np.asarray(m.apply(v, jnp.asarray(x)))
+               for m, v in zip(models, variables)]
+        out = multistage_eval(variables, jnp.asarray(x), mask_mode=mode,
+                              dtype=jnp.float32)
+        for l in range(len(class_counts)):
+            np.testing.assert_allclose(ref[l], np.asarray(out[l]), atol=1e-5)
+
+
+def test_multistage_predict_fused_all_matches_per_level(m, dm, config):
+    """MultiStage.predict through the fused all-level step == the per-level
+    eval loop on the fixture model."""
+    import numpy as np
+
+    from deeptreeattention_tpu.data.dataset import TreeDataset
+
+    assert m._eval_all is not None  # fused_inference default
+    ds = TreeDataset(df=dm.test, train=False, config=config, years=m.years)
+    fused_out = m.predict(m.predict_dataloader(ds))
+    orig = m._eval_all
+    m._eval_all = None
+    try:
+        plain_out = m.predict(m.predict_dataloader(ds))
+    finally:
+        m._eval_all = orig
+    assert len(fused_out) == len(plain_out)
+    for (fi, fp), (pi, pp) in zip(fused_out, plain_out):
+        assert list(fi) == list(pi)
+        for level in range(m.levels):
+            np.testing.assert_allclose(fp[level], pp[level], atol=1e-5)
