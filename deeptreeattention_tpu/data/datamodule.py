@@ -199,6 +199,9 @@ class TreeData:
                 )
                 self.crowns.loc[crowns.index, "dead_label"] = label
                 self.crowns.loc[crowns.index, "dead_score"] = score
+                # parameter names mirror the reference verbatim (src/data.py:
+                # 407-408) — like there, no rows are dropped at this stage
+                # (dead crowns are ANNOTATED here and masked at predict time)
                 self._log_param("Species after dead filtering", self.crowns.taxonID.nunique())
                 self._log_param("Samples after dead filtering", len(self.crowns))
                 dead_rows = crowns[np.asarray(label) == 1]

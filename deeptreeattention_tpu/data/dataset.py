@@ -161,16 +161,11 @@ class Loader:
             self.rng.shuffle(idx)
         bs = self.batch_size
         items = []
-        n_total = len(idx)
-        emitted = 0
         for it in self._items(idx):
             items.append(it)
-            emitted += 1
             if len(items) == bs:
                 yield self._collate(items)
                 items = []
-            elif emitted == n_total:
-                break
         if items and not self.drop_last:
             yield self._collate(items)
 

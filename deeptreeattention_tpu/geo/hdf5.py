@@ -569,6 +569,12 @@ class Dataset:
                 else:
                     raise NotImplementedError(
                         "hdf5: fill message v{}".format(version))
+            if size > 4096:
+                # implausible length: a misparsed layout (writer variations
+                # around the v1 "defined" byte exist in the wild) — fail
+                # loudly so read_with_fallback retries via h5py rather than
+                # reading garbage bytes as a fill value
+                raise NotImplementedError("hdf5: implausible fill size")
             if size == 0 or self._dtype is None:
                 continue
             if self._dtype.cls == 9 or size != self._dtype.size:

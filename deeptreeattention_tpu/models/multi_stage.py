@@ -25,6 +25,7 @@ import pandas as pd
 
 from deeptreeattention_tpu.data.dataset import Loader, TreeDataset
 from deeptreeattention_tpu.models.year import LearnedEnsemble
+from deeptreeattention_tpu.parallel import gather_to_host
 from deeptreeattention_tpu.train import checkpoints, metrics as M, optim, steps
 from deeptreeattention_tpu.utils.logging import get_logger
 
@@ -382,7 +383,6 @@ class MultiStage:
         fast = cfg.get("fast_dev_run") if fast_dev_run is None else fast_dev_run
         if fast:
             epochs = 1
-        self._ensure_global_state()
         start_epoch = 0
         if resume_from:
             restored = MultiStage.load_from_checkpoint(resume_from, config=cfg)
@@ -392,6 +392,9 @@ class MultiStage:
             _, meta = checkpoints.load_checkpoint(resume_from)
             start_epoch = int(meta.get("epoch", -1)) + 1
             log.info("resumed from %s at epoch %d", resume_from, start_epoch)
+        # AFTER any restore: checkpoint loads land on local device 0 and must
+        # be re-replicated before they can feed a pod-mesh jit
+        self._ensure_global_state()
         history = []
         for epoch in range(start_epoch, epochs):
             train_losses = self._train_epoch(max_batches=1 if fast else None)
@@ -433,6 +436,10 @@ class MultiStage:
         import json
         import os
 
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # save_checkpoint only writes on process 0 (shared FS); reading
+            # meta.json here would race with (or precede) that write
+            return
         meta_path = os.path.join(path, "meta.json")
         with open(meta_path) as f:
             meta = json.load(f)
@@ -524,8 +531,6 @@ class MultiStage:
                     self.loss_weights[level],
                 )
                 losses.append(float(loss))
-                from deeptreeattention_tpu.parallel import gather_to_host
-
                 probs = gather_to_host(probs)  # full batch even on a pod mesh
                 mask = gather_to_host(batch["mask"]).astype(bool)
                 labels = gather_to_host(batch["label"])
@@ -554,8 +559,6 @@ class MultiStage:
         Batches stream through the prefetch pipeline; with a mesh configured
         the batch axis is sharded over it (params replicated) so the
         landscape sweep runs data-parallel over ICI (SURVEY §5)."""
-        from deeptreeattention_tpu.parallel import gather_to_host
-
         self._ensure_global_state()
         outputs = []
         for batch in self._iter_batches(loader):

@@ -20,7 +20,6 @@ TPU-native layout — while reference files on disk are band-first; loaders do
 the transpose once at the boundary.
 """
 import os
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -170,8 +169,11 @@ def load_image(img_path, image_size, augment=False):
     if image.shape[1] == 0 or image.shape[2] == 0:
         raise ValueError("empty crop in {}".format(img_path))
     image = np.ascontiguousarray(np.moveaxis(image, 0, -1))  # -> [H, W, C]
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
+    # np.errstate, not warnings.catch_warnings: the latter mutates
+    # process-global state and load_image runs concurrently under
+    # Loader(workers>0); FP noise (nan crops) is the only class to silence
+    # (range==0 is guarded explicitly in preprocess_image_np)
+    with np.errstate(all="ignore"):
         return preprocess_image_np(image, image_size=image_size, augment=augment)
 
 

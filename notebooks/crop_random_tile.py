@@ -89,18 +89,28 @@ def random_crop(config, iteration, pools, savedir):
         )
         hsi_tiles = [x for x in hsi_tiles if "neon-aop-products" not in x]
 
-    rgb_years = _years_of(rgb_tiles)
-    hsi_years = _years_of(hsi_tiles)
-    chm_years = _years_of(chm_tiles)
+    # year -> ONE tile per sensor (first sorted match): a plain zip over
+    # sorted lists silently misaligns years when a year has duplicate tiles
+    # (reflights) or a cross-site substring geoindex match
+    by_year = []
+    for tiles, years in ((rgb_tiles, _years_of(rgb_tiles)),
+                         (hsi_tiles, _years_of(hsi_tiles)),
+                         (chm_tiles, _years_of(chm_tiles))):
+        m = {}
+        for t, y in zip(tiles, years):
+            if y is not None and y not in m:
+                m[y] = t
+        by_year.append(m)
+    rgb_by_year, hsi_by_year, chm_by_year = by_year
     common = sorted(
-        y for y in set(rgb_years) & set(hsi_years) & set(chm_years)
-        if y and int(y) > 2017
+        y for y in set(rgb_by_year) & set(hsi_by_year) & set(chm_by_year)
+        if int(y) > 2017
     )[-3:]
     if len(common) < 3:
         return None
-    sel_rgb = sorted(t for t, y in zip(rgb_tiles, rgb_years) if y in common)
-    sel_hsi = sorted(t for t, y in zip(hsi_tiles, hsi_years) if y in common)
-    sel_chm = sorted(t for t, y in zip(chm_tiles, chm_years) if y in common)
+    sel_rgb = [rgb_by_year[y] for y in common]
+    sel_hsi = [hsi_by_year[y] for y in common]
+    sel_chm = [chm_by_year[y] for y in common]
 
     with raster.open_raster(sel_rgb[0]) as src:
         t = src.transform

@@ -54,31 +54,41 @@ def main():
         models.append(m)
         variables.append(m.init(sub, sample))
 
+    ITERS = 4
+
     @jax.jit
     def tile_infer(variables_list, tile, rect):
-        win = crown_resize_windows(tile, rect, size=SIZE)
-        win = win[..., BAND_CLIP:-BAND_CLIP]
-        x = minmax_scale_pixels(win)
-        images = jnp.broadcast_to(
-            x[:, None], (x.shape[0], YEARS) + x.shape[1:]
-        )  # same windows per year in the bench
-        # the production eval: all 5 levels in one fused program
-        # (models/fused.multistage_eval; +41% measured, docs/PERF.md r3)
-        from deeptreeattention_tpu.models.fused import multistage_eval
+        # scan-chained like bench.py: a single 4096-crown dispatch is ~45 ms
+        # of device work, comparable to one relay RTT — un-chained timing
+        # under-reports by ~30% (measured 61k vs 92k chained)
+        def body(carry, _):
+            win = crown_resize_windows(tile, rect + carry, size=SIZE)
+            win = win[..., BAND_CLIP:-BAND_CLIP]
+            x = minmax_scale_pixels(win)
+            images = jnp.broadcast_to(
+                x[:, None], (x.shape[0], YEARS) + x.shape[1:]
+            )  # same windows per year in the bench
+            # the production eval: all 5 levels in one fused program
+            # (models/fused.multistage_eval; +41% measured, docs/PERF.md r3)
+            from deeptreeattention_tpu.models.fused import multistage_eval
 
-        outs = multistage_eval(variables_list, images)
-        acc = jnp.float32(0.0)
-        for o in outs:
-            acc = acc + jnp.sum(jax.nn.softmax(o, axis=-1))
-        return acc
+            outs = multistage_eval(variables_list, images)
+            acc = jnp.float32(0.0)
+            for o in outs:
+                acc = acc + jnp.sum(jax.nn.softmax(o, axis=-1))
+            return (acc * 1e-9).astype(jnp.int32), None
+
+        carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
+        return carry
 
     float(tile_infer(variables, tile, rect))  # compile
+    float(tile_infer(variables, tile, rect))  # warm
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(tile_infer(variables, tile, rect))
         ts.append(time.perf_counter() - t0)
-    crowns_per_sec = N_CROWNS / min(ts)
+    crowns_per_sec = N_CROWNS * ITERS / min(ts)
     # a 1 km^2 OSBS tile yields ~50-100k candidate crowns
     minutes_per_km2 = 100000 / crowns_per_sec / 60
     rec = {
