@@ -93,11 +93,59 @@ def multistage(process_id, num_processes, port):
     )
 
 
+def predict_fanout(process_id, num_processes, port):
+    """Multi-host tile sweep (predict.py's production mode): each process
+    takes a stride of the tile list and predicts it on a mesh of its OWN
+    devices (mesh_scope=local) — per-tile outputs are idempotent files.
+    Env: DTA_TEST_CKPT (MultiStage checkpoint), DTA_TEST_OUT (savedir)."""
+    import glob
+
+    jax = _init(process_id, num_processes, port)
+
+    from tests.make_fixtures import fixture_config
+
+    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    cfg = fixture_config(fixtures_dir)
+    cfg["mesh_scope"] = "local"  # predict.py sets this for multi-process runs
+
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+    from deeptreeattention_tpu.parallel import spans_processes
+
+    m = MultiStage.load_from_checkpoint(os.environ["DTA_TEST_CKPT"], config=cfg)
+    # local fan-out mode: the mesh covers only THIS host's devices
+    assert m.mesh is not None and m.mesh.devices.size == 2, m.mesh
+    assert not spans_processes(m.mesh)
+
+    import pandas as pd
+
+    from deeptreeattention_tpu.geo import geometry, vector
+    from deeptreeattention_tpu.predict import tiles as predict_api
+
+    tiles = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))
+    tiles = tiles[process_id::num_processes]  # predict.py's partition
+    for rgb in tiles:
+        crowns = vector.GeoDataFrame(
+            pd.DataFrame({"individual": ["p1", "p2"]}),
+            geometry=[
+                geometry.box(726020, 4699020, 726024, 4699024),
+                geometry.box(726060, 4699120, 726066, 4699126),
+            ],
+            crs=32617,
+        )
+        crowns["RGB_tile"] = rgb
+        predict_api.predict_tile_ondevice(
+            crowns, m=m, config=cfg, savedir=os.environ["DTA_TEST_OUT"]
+        )
+    print("PREDOK {}".format(len(tiles)), flush=True)
+
+
 def main():
     process_id, num_processes, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "allreduce"
     if mode == "multistage":
         multistage(process_id, num_processes, port)
+    elif mode == "predict":
+        predict_fanout(process_id, num_processes, port)
     else:
         allreduce(process_id, num_processes, port)
 

@@ -25,7 +25,7 @@ def test_local_batch_slice_single_process():
     assert (sl.start, sl.stop) == (0, 128)
 
 
-def _run_two_workers(mode, timeout=300):
+def _run_two_workers(mode, timeout=300, extra_env=None):
     """Spawn 2 coordinator-connected worker processes; return their stdouts."""
     import os
     import socket
@@ -43,6 +43,7 @@ def _run_two_workers(mode, timeout=300):
     # APPEND (CLAUDE.md): replacing PYTHONPATH drops /root/.axon_site and
     # with it the TPU backend registration in subprocesses
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "distributed_worker.py")
     procs = [
         subprocess.Popen(
@@ -99,3 +100,56 @@ def test_two_process_multistage_fit_matches_single(dm, config):
     pod_val = [float(x) for x in val_s.split(",")]
     np.testing.assert_allclose(pod_train, rec["train_loss"], atol=2e-4)
     np.testing.assert_allclose(pod_val, rec["val_loss"], atol=2e-4)
+
+
+def test_two_process_predict_fanout_no_tile_skipped(m, config, tmp_path):
+    """predict.py's multi-host mode: two processes partition the tile list,
+    each sweeps on a LOCAL-device mesh (no cross-process collectives), and
+    every tile yields a result shapefile matching the single-process run."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from deeptreeattention_tpu.geo import geometry, vector
+    from deeptreeattention_tpu.predict import tiles as predict_api
+
+    ckpt = m.save_checkpoint(str(tmp_path / "species_ckpt"))
+    out_dir = str(tmp_path / "fanout")
+    os.makedirs(out_dir, exist_ok=True)
+
+    outs = _run_two_workers(
+        "predict", timeout=900,
+        extra_env={"DTA_TEST_CKPT": ckpt, "DTA_TEST_OUT": out_dir},
+    )
+    assert all("PREDOK" in o for o in outs), outs
+
+    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    tiles = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))
+    shps = sorted(glob.glob(os.path.join(out_dir, "*.shp")))
+    assert len(shps) == len(tiles), (tiles, shps)  # nothing skipped
+
+    # content matches a single-process sweep of the same crowns
+    ref_dir = str(tmp_path / "ref")
+    for rgb in tiles:
+        crowns = vector.GeoDataFrame(
+            pd.DataFrame({"individual": ["p1", "p2"]}),
+            geometry=[
+                geometry.box(726020, 4699020, 726024, 4699024),
+                geometry.box(726060, 4699120, 726066, 4699126),
+            ],
+            crs=32617,
+        )
+        crowns["RGB_tile"] = rgb
+        predict_api.predict_tile_ondevice(crowns, m=m, config=config,
+                                          savedir=ref_dir)
+    for shp in shps:
+        got = vector.read_file(shp).sort_values("individual").reset_index(drop=True)
+        ref = vector.read_file(os.path.join(ref_dir, os.path.basename(shp)))
+        ref = ref.sort_values("individual").reset_index(drop=True)
+        col = "ensembleTa" if "ensembleTa" in got.columns else "ensembleTaxonID"
+        assert list(got[col]) == list(ref[col])
+        np.testing.assert_allclose(
+            got.ens_score.astype(float), ref.ens_score.astype(float), atol=1e-4
+        )
