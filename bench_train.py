@@ -42,8 +42,9 @@ def main():
     YEARS = 2 if small else 4
     BANDS = 8 if small else 349
     CLASSES = 3 if small else 20
-    # batch sweep measured on chip: 512 -> 90.8k, 1024 -> 114.7k samples/s
-    BATCH = 8 if small else int(os.environ.get("DTA_BENCH_BATCH", 1024))
+    # batch sweep measured on chip: 512 -> 90.8k, 1024 -> 114.7k,
+    # 2048 -> 139k samples/s (the knee; docs/PERF.md)
+    BATCH = 8 if small else int(os.environ.get("DTA_BENCH_BATCH", 2048))
     ITERS = 2 if small else 8
 
     model = LearnedEnsemble(
