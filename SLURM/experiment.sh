@@ -13,4 +13,9 @@
 set -euo pipefail
 BRANCH=$(git rev-parse --abbrev-ref HEAD)
 COMMIT=$(git rev-parse HEAD)
+# Single host: plain python. Pod: `srun --ntasks=<hosts> bash SLURM/experiment.sh`
+# — distributed.initialize() reads SLURM_NTASKS/SLURM_PROCID and jax's SLURM
+# cluster detection picks the coordinator; training then runs synchronized
+# data-parallel over the global (slice, data) mesh. Pod runs require
+# use_data_commit (build the data artifact single-host first).
 python train.py "$BRANCH" "$COMMIT"

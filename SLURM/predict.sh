@@ -11,4 +11,7 @@
 #SBATCH --error=logs/predict_%j.err
 
 set -euo pipefail
-python -m cProfile -o "logs/predict_${SLURM_JOB_ID:-local}.pstats" predict.py
+# Multi-host fan-out: `srun --ntasks=<hosts> bash SLURM/predict.sh` — each
+# process takes a stride of the tile list on a mesh of its own devices
+# (predict.py partitions via jax.process_index; outputs are idempotent files).
+python -m cProfile -o "logs/predict_${SLURM_JOB_ID:-local}_${SLURM_PROCID:-0}.pstats" predict.py

@@ -38,6 +38,7 @@ class TreeData:
         from deeptreeattention_tpu.utils.profiling import StageTimer
 
         self.timer = StageTimer()
+        self.predicted_dead = pd.DataFrame()  # populated by dead scoring
         if config.get("use_data_commit"):
             with self.timer.stage("load_artifact"):
                 self._load_artifact()
@@ -118,16 +119,31 @@ class TreeData:
                 config=cfg,
             )
             if IFAS is not None and not IFAS.empty:
-                self.crowns = vector.GeoDataFrame(pd.concat([self.crowns, IFAS]))
-            self.crowns.to_file(os.path.join(self.data_dir, "crowns.shp"))
+                # ignore_index: duplicate index labels would make the dead-
+                # score .loc writeback select more rows than values
+                self.crowns = vector.GeoDataFrame(
+                    pd.concat([self.crowns, IFAS], ignore_index=True)
+                )
+            self.crowns = vector.GeoDataFrame(self.crowns.reset_index(drop=True))
             self._log_param("Species after crown prediction", self.crowns.taxonID.nunique())
             self._log_param("Samples after crown prediction", len(self.crowns))
+            # score BEFORE writing crowns.shp so the dead annotations persist
+            # (and survive a replace=False resume)
             self._score_and_log_dead()
+            self.crowns.to_file(os.path.join(self.data_dir, "crowns.shp"))
         else:
             self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
             self.canopy_points = vector.read_file(
                 os.path.join(self.data_dir, "canopy_points.shp")
             )
+            # resume path: rebuild predicted_dead from the persisted columns
+            # (or score now if the artifact predates dead scoring)
+            if "dead_label" in self.crowns.columns:
+                self.predicted_dead = self.crowns[
+                    self.crowns.dead_label.astype(float) == 1
+                ]
+            else:
+                self._score_and_log_dead()
 
         with self.timer.stage("crops"):
             annotations = crops_mod.generate_crops(
@@ -245,6 +261,10 @@ class TreeData:
                 df["individual"] = df["individualID"]
         self.crowns = vector.read_file(os.path.join(self.data_dir, "crowns.shp"))
         self.canopy_points = vector.read_file(os.path.join(self.data_dir, "canopy_points.shp"))
+        if "dead_label" in self.crowns.columns:
+            self.predicted_dead = self.crowns[
+                self.crowns.dead_label.astype(float) == 1
+            ]
         # the regenerate path always provides self.novel — load it from the
         # artifact too (empty frame when the artifact predates it)
         novel_csv = os.path.join(self.data_dir, "novel_species.csv")

@@ -29,6 +29,20 @@ class TreeDataset:
         # round-trips yield ints — normalize so lookups never silently miss
         # canonical str years; floats from pandas csv inference ('2019.0')
         # would silently miss every lookup against '2019'
+        if self.annotations.tile_year.isna().any():
+            # int(nan) inside the map would raise an opaque ValueError; name
+            # the problem instead
+            n_bad = int(self.annotations.tile_year.isna().sum())
+            raise ValueError(
+                "{} annotation rows have a missing tile_year (e.g. individuals "
+                "{})".format(
+                    n_bad,
+                    list(
+                        self.annotations[self.annotations.tile_year.isna()]
+                        .individual.head(3)
+                    ),
+                )
+            )
         self.annotations["tile_year"] = self.annotations.tile_year.map(
             lambda v: str(int(v)) if isinstance(v, float) and v == int(v) else str(v)
         )
@@ -55,9 +69,17 @@ class TreeDataset:
 
         self._preloaded = None
         if config.get("preload_images"):
-            self._preloaded = np.stack(
-                [self._load_individual(ind) for ind in self.individuals]
-            )
+            if self.individuals:
+                self._preloaded = np.stack(
+                    [self._load_individual(ind) for ind in self.individuals]
+                )
+            else:
+                # np.stack([]) raises; an empty hierarchy level (e.g. a site
+                # with no oaks) must still construct
+                s, c = self.image_size, self.bands
+                self._preloaded = np.zeros(
+                    (0, len(self.years), s, s, c), np.float32
+                )
 
     def __len__(self):
         return len(self.individuals)

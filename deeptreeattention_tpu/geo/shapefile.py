@@ -31,11 +31,21 @@ def read_shapefile(path):
     if os.path.exists(base + ".prj"):
         with open(base + ".prj") as f:
             epsg = crs_mod.epsg_from_wkt(f.read())
-    records = [dict(zip([f[0] for f in fields], row)) for row in rows]
-    if records and len(records) != len(geoms):
-        records = records[: len(geoms)]
-    while len(records) < len(geoms):
-        records.append({})
+    names = [f[0] for f in fields]
+    records = [dict(zip(names, row)) if row is not None else None for row in rows]
+    if records and len(records) == len(geoms):
+        # deleted DBF records (None placeholders) keep positional alignment
+        # with .shp shape records; drop both sides together — skipping only
+        # the DBF row would attach every later attribute to the wrong crown
+        keep = [i for i, r in enumerate(records) if r is not None]
+        geoms = [geoms[i] for i in keep]
+        records = [records[i] for i in keep]
+    else:
+        records = [r for r in records if r is not None]
+        if records and len(records) != len(geoms):
+            records = records[: len(geoms)]
+        while len(records) < len(geoms):
+            records.append({})
     return geoms, records, epsg
 
 
@@ -97,6 +107,7 @@ def _read_dbf(path):
         rec = data[off : off + rsize]
         off += rsize
         if not rec or rec[0:1] == b"*":
+            rows.append(None)  # deleted record: keep the slot for alignment
             continue
         pos = 1
         row = []

@@ -165,3 +165,39 @@ class MetadataModel(treemodel.TreeModel):
             self.variables["params"], self.variables.get("batch_stats", {}),
             images, jnp.asarray(inputs["site"]),
         )
+
+    def _predict_batch(self, batch):
+        """Two-input hook: the inherited predict_dataloader/evaluate_crowns
+        feed each loader batch through here."""
+        if "site" not in batch:
+            raise KeyError(
+                "MetadataModel needs a 'site' column in the dataset "
+                "annotations (TreeDataset exposes it automatically)"
+            )
+        return self.predict({"HSI": batch["HSI"], "site": batch["site"]})
+
+    def validate(self, val_ds):
+        """Weighted-CE loss + metrics over a validation dataset (the
+        inherited TreeModel.validate uses the single-input _val_step, which
+        this two-input module does not build)."""
+        from deeptreeattention_tpu.data.dataset import Loader
+
+        cfg = self.config
+        loader = Loader(val_ds, cfg["batch_size"],
+                        pad_to_batch=cfg.get("pad_batches", True))
+        self.metrics.reset()
+        losses = []
+        w = np.asarray(self.loss_weight)
+        for batch in self._iter_batches(loader):
+            probs = np.asarray(self._predict_batch(batch))
+            mask = np.asarray(batch["mask"]).astype(bool)
+            labels = np.asarray(batch["label"])
+            p = np.clip(probs[mask], 1e-8, 1.0)
+            y = labels[mask]
+            wy = w[y]
+            losses.append(float(
+                np.sum(-np.log(p[np.arange(len(y)), y]) * wy)
+                / max(float(np.sum(wy)), 1e-12)
+            ))
+            self.metrics.update(probs[mask], y)
+        return float(np.mean(losses)) if losses else float("nan"), self.metrics.compute()

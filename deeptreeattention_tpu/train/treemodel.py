@@ -139,6 +139,11 @@ class TreeModel:
             self.variables["params"], self.variables.get("batch_stats", {}), images
         )
 
+    def _predict_batch(self, batch):
+        """Probabilities for one loader batch — the hook two-input variants
+        override (MetadataModel feeds HSI + site)."""
+        return self.predict(batch["HSI"])
+
     def predict_dataloader(self, data_loader, test_crowns=None, test_points=None,
                            return_features=False, experiment=None, train=True):
         """Predict a loader -> DataFrame with top1/top2 labels and scores
@@ -148,7 +153,7 @@ class TreeModel:
             inds = np.asarray(batch["individual"])  # strings stay host-side
             n = len(inds)
             mask = np.asarray(batch["mask"]).astype(bool)[:n]
-            p = np.asarray(self.predict(batch["HSI"]))[:n][mask]
+            p = np.asarray(self._predict_batch(batch))[:n][mask]
             probs.append(p)
             individuals.append(inds[mask])
             if train and "label" in batch:

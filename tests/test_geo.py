@@ -232,3 +232,35 @@ def test_box_normalizes_inverted_coordinates():
     b = box(16.0, 80.0, 10.0, 74.0)
     assert b.bounds == (10.0, 74.0, 16.0, 80.0)
     assert b.area == 36.0
+
+
+def test_shapefile_deleted_dbf_record_alignment(tmp_path):
+    """A DBF record flagged deleted must drop its geometry too — skipping
+    only the attribute row shifts every later attribute onto the wrong
+    geometry."""
+    import struct
+
+    import pandas as pd
+
+    from deeptreeattention_tpu.geo import vector
+    from deeptreeattention_tpu.geo.geometry import Box
+
+    gdf = vector.GeoDataFrame(
+        pd.DataFrame({"individual": ["a", "b", "c"]}),
+        geometry=[Box(0, 0, 1, 1), Box(10, 10, 11, 11), Box(20, 20, 21, 21)],
+        crs=32617,
+    )
+    path = str(tmp_path / "del.shp")
+    gdf.to_file(path)
+    # flag record 1 ('b') as deleted in the .dbf
+    dbf = str(tmp_path / "del.dbf")
+    with open(dbf, "rb") as f:
+        data = bytearray(f.read())
+    hsize, rsize = struct.unpack("<HH", data[8:12])
+    data[hsize + rsize] = 0x2A  # b'*'
+    with open(dbf, "wb") as f:
+        f.write(bytes(data))
+
+    back = vector.read_file(path)
+    assert list(back.individual) == ["a", "c"]
+    assert back.geometry[0].bounds[0] == 0 and back.geometry[1].bounds[0] == 20

@@ -124,3 +124,46 @@ def test_year_backbone_broadcast(config):
     # classifiers keep their per-year random init (not broadcast)
     ck = np.asarray(merged["params"]["year_models"]["classifier1"]["fc1"]["kernel"])
     assert not np.allclose(ck[0], ck[1])
+
+
+def test_metadata_model_validate_and_predict_dataloader(config, dm):
+    """The inherited TreeModel evaluation surface works on the two-input
+    model: validate() computes loss+metrics through the fusion steps and
+    predict_dataloader feeds HSI + site through the batch hook."""
+    cfg = dict(config)
+    cfg["lr"] = 1e-3
+    fusion = MetadataSensorFusion(
+        bands=cfg["bands"], sites=dm.num_sites, classes=dm.num_classes
+    )
+    mm = MetadataModel(
+        model=fusion, classes=dm.num_classes, label_dict=dm.species_label_dict, config=cfg
+    )
+    ds = TreeDataset(df=dm.train, config=cfg)
+    val_loss, metric_dict = mm.validate(ds)
+    assert np.isfinite(val_loss)
+    assert "Micro Accuracy" in metric_dict or metric_dict
+
+    loader = Loader(ds, 4, pad_to_batch=True)
+    df = mm.predict_dataloader(loader)
+    assert len(df) == len(ds)
+    assert {"pred_taxa_top1", "top1_score", "individual"} <= set(df.columns)
+
+
+def test_tree_dataset_empty_frame_with_preload(config, dm):
+    """An empty hierarchy level (e.g. a site with no oaks) must construct
+    under preload_images=True (np.stack([]) raised before)."""
+    cfg = dict(config)
+    cfg["preload_images"] = True
+    empty = dm.train.iloc[0:0]
+    ds = TreeDataset(df=empty, config=cfg)
+    assert len(ds) == 0
+    assert list(Loader(ds, 4)) == []
+
+
+def test_tree_dataset_nan_tile_year_raises_clearly(config, dm):
+    import pytest
+
+    df = dm.train.copy()
+    df.loc[df.index[0], "tile_year"] = np.nan
+    with pytest.raises(ValueError, match="missing tile_year"):
+        TreeDataset(df=df, config=dict(config))
