@@ -43,8 +43,9 @@ def main():
     BANDS = 8 if small else 349
     CLASSES = 3 if small else 20
     # batch sweep measured on chip: 512 -> 90.8k, 1024 -> 114.7k,
-    # 2048 -> 139k samples/s (the knee; docs/PERF.md)
-    BATCH = 8 if small else int(os.environ.get("DTA_BENCH_BATCH", 2048))
+    # 2048 -> 133.9k, 4096 -> 149.3k, 8192 -> 158.8k samples/s
+    # (docs/PERF.md round 3; 8192 is the measured knee, same as eval)
+    BATCH = 8 if small else int(os.environ.get("DTA_BENCH_BATCH", 8192))
     ITERS = 2 if small else 8
 
     model = LearnedEnsemble(
