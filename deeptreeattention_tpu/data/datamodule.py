@@ -50,6 +50,14 @@ class TreeData:
             )
 
     # ------------------------------------------------------------------
+    def setup(self, stage=None):
+        """Lightning-surface no-op: the reference's TreeData (a
+        LightningDataModule, reference src/data.py:312-318) runs its ETL in
+        __init__ and inherits setup() as a no-op; callers porting
+        `dm.setup()` invocations keep working."""
+        return None
+
+    # ------------------------------------------------------------------
     def _log_param(self, name, value):
         if self.comet_logger is not None:
             exp = getattr(self.comet_logger, "experiment", self.comet_logger)

@@ -23,6 +23,37 @@ def utm_zone_epsg(zone, north=True):
     return (32600 if north else 32700) + int(zone)
 
 
+def normalize_epsg(value):
+    """Coerce a user-facing CRS spec to an integer EPSG code.
+
+    rasterio/geopandas users write ``crs="EPSG:32617"``, ``crs=32617``, or
+    pass a pyproj/rasterio ``CRS`` object; the in-house geo engine keys
+    everything off the integer code. Accepts ints, numeric strings,
+    ``"EPSG:NNNN"`` (any case), and objects exposing ``to_epsg()``.
+    ``None`` passes through (unset CRS).
+    """
+    if value is None:
+        return None
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    to_epsg = getattr(value, "to_epsg", None)
+    if callable(to_epsg):
+        code = to_epsg()
+        if code is None:
+            raise ValueError("CRS object has no EPSG code: {!r}".format(value))
+        return int(code)
+    s = str(value).strip()
+    if ":" in s:  # "EPSG:32617" / "epsg:4326"
+        auth, _, tail = s.partition(":")
+        if auth.strip().upper() != "EPSG":
+            raise ValueError("unsupported CRS authority: {!r}".format(value))
+        s = tail
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError("cannot parse CRS spec: {!r}".format(value))
+
+
 def parse_utm_epsg(epsg):
     """(zone, north) for WGS84 (326xx/327xx) and NAD83 (269xx) UTM codes.
 

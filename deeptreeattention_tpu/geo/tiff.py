@@ -321,8 +321,11 @@ def write_tiff(path, array, transform=None, crs=None, compress=None,
     """Write [bands, h, w] (or [h, w]) to a GeoTIFF.
 
     compress: None | 'deflate'. tiled default: True for images > 512px.
-    crs: integer EPSG code.
+    crs: EPSG code as int, "EPSG:NNNN" string, or CRS object (to_epsg()).
     """
+    from deeptreeattention_tpu.geo import crs as crs_mod  # avoid import cycle
+
+    crs = crs_mod.normalize_epsg(crs)
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]

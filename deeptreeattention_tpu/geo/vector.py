@@ -10,7 +10,9 @@ import pandas as pd
 
 from deeptreeattention_tpu.geo import crs as crs_mod
 from deeptreeattention_tpu.geo import shapefile as shp_io
-from deeptreeattention_tpu.geo.geometry import Box, Geometry, Point, Polygon
+from deeptreeattention_tpu.geo.geometry import (  # noqa: F401 (box/from_wkt re-exported
+    Box, Geometry, Point, Polygon, box, from_wkt,  # for geopandas-style callers)
+)
 
 
 class GeoDataFrame(pd.DataFrame):
@@ -26,8 +28,18 @@ class GeoDataFrame(pd.DataFrame):
         else:
             super().__init__(data, *args, **kwargs)
             gcol = geometry if isinstance(geometry, str) else None
-        object.__setattr__(self, "crs", crs if crs is not None else getattr(data, "crs", None))
+        eff = crs if crs is not None else getattr(data, "crs", None)
+        object.__setattr__(self, "crs", crs_mod.normalize_epsg(eff))
         object.__setattr__(self, "_geom_col", gcol or getattr(data, "_geom_col", None) or "geometry")
+
+    def __setattr__(self, name, value):
+        # `gdf.crs = "EPSG:32617"` is idiomatic geopandas; keep the stored
+        # value an int EPSG code so every consumer (shapefile writer,
+        # reprojection) sees one representation
+        if name == "crs":
+            object.__setattr__(self, "crs", crs_mod.normalize_epsg(value))
+            return
+        super().__setattr__(name, value)
 
     @property
     def _constructor(self):
@@ -75,16 +87,16 @@ class GeoDataFrame(pd.DataFrame):
 
     # -- CRS -------------------------------------------------------------------
     def set_crs(self, epsg=None, crs=None, inplace=False, allow_override=True):
-        target = epsg or crs
+        target = crs_mod.normalize_epsg(epsg if epsg is not None else crs)
         if inplace:
-            object.__setattr__(self, "crs", int(target))
+            object.__setattr__(self, "crs", target)
             return self
         out = self.copy()
-        object.__setattr__(out, "crs", int(target))
+        object.__setattr__(out, "crs", target)
         return out
 
     def to_crs(self, epsg=None, crs=None, inplace=False):
-        target = int(epsg or crs)
+        target = crs_mod.normalize_epsg(epsg if epsg is not None else crs)
         if self.crs is None:
             raise ValueError("source CRS unset; call set_crs first")
         geoms = [_reproject_geom(g, self.crs, target) for g in self.geometry]

@@ -558,7 +558,15 @@ class MultiStage:
 
         Batches stream through the prefetch pipeline; with a mesh configured
         the batch axis is sharded over it (params replicated) so the
-        landscape sweep runs data-parallel over ICI (SURVEY §5)."""
+        landscape sweep runs data-parallel over ICI (SURVEY §5).
+
+        Accepts a crowns DataFrame directly (wrapped in a TreeDataset +
+        predict Loader) as a convenience; anything else must be an iterable
+        of batch dicts from predict_dataloader()."""
+        if isinstance(loader, pd.DataFrame):
+            loader = self.predict_dataloader(
+                TreeDataset(df=loader, config=self.config, train=False)
+            )
         self._ensure_global_state()
         outputs = []
         for batch in self._iter_batches(loader):

@@ -202,6 +202,45 @@ def test_to_crs():
     assert out.geometry.iloc[0].x > 500000
 
 
+def test_crs_accepts_geopandas_style_specs(tmp_path):
+    """rasterio/geopandas users pass "EPSG:NNNN" strings and CRS objects;
+    every user-facing crs= entry point normalizes to the int code."""
+    assert crs.normalize_epsg("EPSG:32617") == 32617
+    assert crs.normalize_epsg("epsg:4326") == 4326
+    assert crs.normalize_epsg(" 32618 ") == 32618
+    assert crs.normalize_epsg(None) is None
+
+    class _FakeCRS:  # pyproj/rasterio CRS duck type
+        def to_epsg(self):
+            return 32617
+
+    assert crs.normalize_epsg(_FakeCRS()) == 32617
+    with pytest.raises(ValueError):
+        crs.normalize_epsg("ESRI:102100")
+    with pytest.raises(ValueError):
+        crs.normalize_epsg("not-a-code")
+
+    gdf = vector.GeoDataFrame(
+        pd.DataFrame({"a": [1]}),
+        geometry=[geometry.Point(230000.0, 4330000.0)],
+        crs="EPSG:32618",
+    )
+    assert gdf.crs == 32618
+    gdf.crs = "EPSG:32617"  # attribute assignment normalizes too
+    assert gdf.crs == 32617
+    out = gdf.set_crs(crs="EPSG:32618").to_crs(crs="EPSG:32617")
+    assert out.crs == 32617
+    assert out.geometry.iloc[0].x > 500000
+
+    # raster writer takes the string spec as well
+    arr = np.arange(16, dtype=np.int16).reshape(1, 4, 4)
+    t = affine.from_origin(730000.0, 4713000.0, 1.0, 1.0)
+    path = str(tmp_path / "s.tif")
+    raster.write_raster(path, arr, transform=t, crs="EPSG:32617")
+    src = raster.open_raster(path)
+    assert src.crs == 32617
+
+
 # -- zonal ----------------------------------------------------------------------
 
 def test_zonal_stats(tmp_path):

@@ -30,6 +30,20 @@ def test_fit_one_epoch_reduces_nothing_but_runs(m):
     assert all(np.isfinite(history[0]["val_loss"]))
 
 
+def test_predict_accepts_dataframe(m, dm, config):
+    """Lightning-surface conveniences: predict() wraps a crowns DataFrame in
+    the predict Loader itself, and TreeData.setup() is the inherited no-op
+    (reference src/data.py:312 — ETL runs in __init__)."""
+    assert dm.setup() is None and dm.setup("fit") is None
+    via_df = m.gather_predictions(m.predict(dm.test))
+    ds = TreeDataset(df=dm.test, config=config, train=False)
+    via_loader = m.gather_predictions(m.predict(m.predict_dataloader(ds)))
+    assert len(via_df) == len(via_loader)
+    np.testing.assert_allclose(
+        via_df["top1_score_level_0"], via_loader["top1_score_level_0"], rtol=1e-5
+    )
+
+
 def test_predict_gather_ensemble(m, dm, config):
     ds = TreeDataset(df=dm.test, config=config, train=False)
     loader = m.predict_dataloader(ds)
