@@ -213,6 +213,31 @@ class AliveDead:
 
         self._eval_step_batch_stats = eval_batch_stats
 
+        # BN-folded eval forward: `dead.bn_mode: eval_folded` drops the
+        # reference quirk for a measured ~1.9x forward (docs/PERF.md round 3).
+        # "batch" (default) = reference train-mode-BN parity; "eval" =
+        # running averages through the module; "eval_folded" = running
+        # averages folded into conv weights (fastest, same math as "eval")
+        self.bn_mode = cfg.get("bn_mode", "batch")
+        if self.bn_mode not in ("batch", "eval", "eval_folded"):
+            raise ValueError("dead.bn_mode must be batch|eval|eval_folded, "
+                             "got {!r}".format(self.bn_mode))
+        d = depth
+
+        @jax.jit
+        def eval_folded(params, batch_stats, x):
+            from deeptreeattention_tpu.models import fused
+
+            logits = fused.resnet_eval(
+                {"params": params, "batch_stats": batch_stats}, x,
+                depth=d, dtype=dtype,
+            )
+            # same output contract as _eval_step (make_eval_step wraps the
+            # sigmoid forward in a softmax)
+            return jax.nn.softmax(jax.nn.sigmoid(logits), axis=-1)
+
+        self._eval_step_folded = eval_folded
+
     # -- data ------------------------------------------------------------
     def _folder(self, which, augment):
         root = self.config["dead"]["{}_dir".format(which)]
@@ -291,7 +316,7 @@ class AliveDead:
 
     # -- inference ---------------------------------------------------------
     def predict_crowns_ondevice(self, crowns, batch_size=None,
-                                use_batch_stats=True, buffer=1.0):
+                                use_batch_stats=None, buffer=1.0):
         """Tile-resident alive/dead scoring (the TPU redesign of the
         reference's per-crown host window reads, src/predict.py:153-168 +
         src/models/dead.py:153-182): each RGB tile uploads ONCE (uint8 — 4x
@@ -370,16 +395,30 @@ class AliveDead:
             )
         return probs
 
+    def _resolve_mode(self, use_batch_stats):
+        """use_batch_stats=True/False pins the reference quirk / plain eval
+        (explicit callers keep their semantics); None defers to the
+        `dead.bn_mode` config knob."""
+        if use_batch_stats is None:
+            return self.bn_mode
+        return "batch" if use_batch_stats else "eval"
+
     def predict_batch(self, xs, use_batch_stats=False):
-        step = self._eval_step_batch_stats if use_batch_stats else self._eval_step
+        mode = self._resolve_mode(use_batch_stats)
+        step = {
+            "batch": self._eval_step_batch_stats,
+            "eval": self._eval_step,
+            "eval_folded": self._eval_step_folded,
+        }[mode]
         probs = step(
             self.variables["params"], self.variables.get("batch_stats", {}), jnp.asarray(xs)
         )
         return jax.nn.softmax(jnp.log(jnp.clip(probs, 1e-8, 1.0)), axis=-1)
 
-    def predict_dataset(self, ds, batch_size=None, use_batch_stats=True):
+    def predict_dataset(self, ds, batch_size=None, use_batch_stats=None):
         """Dataset scoring; use_batch_stats=True keeps the reference's
-        train-mode-BN prediction behavior (src/predict.py:156)."""
+        train-mode-BN prediction behavior (src/predict.py:156); None defers
+        to `dead.bn_mode`."""
         batch_size = batch_size or self.config["dead"]["batch_size"]
         outs = []
         for batch in self._batches(ds, batch_size):

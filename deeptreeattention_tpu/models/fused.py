@@ -382,6 +382,64 @@ def multistage_eval(variables_list, images, mask_mode="batch",
 
 
 # ---------------------------------------------------------------------------
+# alive/dead ResNet (BN-folded eval forward)
+# ---------------------------------------------------------------------------
+
+def resnet_eval(variables, x, depth=50, dtype=jnp.bfloat16):
+    """BN-folded eval-mode forward for models.resnet.ResNet.
+
+    The production dead-scoring quirk (reference src/predict.py:156) runs the
+    ResNet in train mode, which forces two batch-statistics passes between
+    every conv; eval-mode running averages are an affine map that folds into
+    the conv weights. Measured on v5e (BENCH_INT8_PROBE.json): the folded
+    bf16 trunk runs 11.7k crowns/s vs 6.1k for the train-BN production
+    forward. Parity with `model.apply(train=False)` is pinned by
+    tests/test_dead.py.
+
+    Returns logits [B, num_classes] in float32.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def fconv(h, p, s, name_c, name_b, strides=(1, 1), padding="SAME"):
+        k, b = _fold_bn(p[name_c], p[name_b], s[name_b])
+        y = jax.lax.conv_general_dilated(
+            h.astype(dtype), k.astype(dtype), strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + b.astype(jnp.float32)
+
+    from deeptreeattention_tpu.models.resnet import DEPTHS
+
+    stage_blocks, bottleneck = DEPTHS[depth]
+    h = fconv(x, params, stats, "stem_conv", "stem_bn", (2, 2), [(3, 3), (3, 3)])
+    h = jax.nn.relu(h)
+    h = jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for stage, blocks in enumerate(stage_blocks):
+        for bi in range(blocks):
+            p = params["stage{}_block{}".format(stage + 1, bi)]
+            s = stats["stage{}_block{}".format(stage + 1, bi)]
+            strides = (2, 2) if stage > 0 and bi == 0 else (1, 1)
+            if bottleneck:
+                y = jax.nn.relu(fconv(h, p, s, "Conv_0", "BatchNorm_0"))
+                y = jax.nn.relu(fconv(y, p, s, "Conv_1", "BatchNorm_1", strides))
+                y = fconv(y, p, s, "Conv_2", "BatchNorm_2")
+                res = (fconv(h, p, s, "Conv_3", "BatchNorm_3", strides)
+                       if "Conv_3" in p else h)
+            else:
+                y = jax.nn.relu(fconv(h, p, s, "Conv_0", "BatchNorm_0", strides))
+                y = fconv(y, p, s, "Conv_1", "BatchNorm_1")
+                res = (fconv(h, p, s, "Conv_2", "BatchNorm_2", strides)
+                       if "Conv_2" in p else h)
+            h = jax.nn.relu(y + res)
+    h = jnp.mean(h, axis=(1, 2))
+    return _dense(h, params["fc"], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 

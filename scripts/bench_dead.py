@@ -81,6 +81,32 @@ def main():
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
+
+        # opt-in dead.bn_mode: eval_folded — running-average BN folded into
+        # conv weights (models/fused.resnet_eval); no batch-stat passes
+        from deeptreeattention_tpu.models.fused import resnet_eval
+
+        @jax.jit
+        def fn_folded(variables, tile, rect):
+            def body(carry, _):
+                win = crown_resize_windows_mm(tile, rect + carry, size=224,
+                                              slab=128)
+                x = win / 255.0
+                x = (x - IMAGENET_MEAN) / IMAGENET_STD
+                logits = resnet_eval(variables, x, depth=50, dtype=dtype)
+                return (jnp.mean(logits) * 1e-9).astype(jnp.int32), None
+
+            carry, _ = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
+            return carry
+
+        dt = timed(fn_folded, variables, tile, rect)
+        rec = {
+            "prog": "dead_resnet50_{}_folded".format(name),
+            "crowns_per_s": round(B * ITERS / dt),
+            "batch": B,
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
     # driver-visible artifact (VERDICT round-2 item 5)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH_DEAD.json")

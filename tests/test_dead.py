@@ -109,6 +109,34 @@ def test_dataset_confusion(model, config, fixtures_dir):
     assert pred.shape == (len(ds), 2)
 
 
+def test_bn_folded_eval_matches_module(model, config):
+    """dead.bn_mode: eval_folded — BN folded into conv weights must equal the
+    module's eval-mode apply (same math, restructured); and the config knob
+    routes the default-prediction paths through the folded step."""
+    import copy
+
+    x = np.random.RandomState(1).rand(4, 224, 224, 3).astype(np.float32)
+    # identical math at f32: folded vs module eval-mode forward
+    p_eval = np.asarray(model.predict_batch(x, use_batch_stats=False))
+    model.bn_mode = "eval_folded"
+    try:
+        p_fold = np.asarray(model.predict_batch(x, use_batch_stats=None))
+    finally:
+        model.bn_mode = "batch"
+    np.testing.assert_allclose(p_fold, p_eval, rtol=2e-4, atol=2e-5)
+
+    # knob resolution: None defers to config, explicit args pin their mode
+    cfg = copy.deepcopy(config)
+    cfg["dead"]["bn_mode"] = "eval_folded"
+    m = dead.AliveDead(config=cfg, depth=18, seed=0)
+    assert m._resolve_mode(None) == "eval_folded"
+    assert m._resolve_mode(True) == "batch"
+    assert m._resolve_mode(False) == "eval"
+    cfg["dead"]["bn_mode"] = "bogus"
+    with pytest.raises(ValueError):
+        dead.AliveDead(config=cfg, depth=18, seed=0)
+
+
 def test_dead_bf16_compute_option(config, fixtures_dir):
     """dead.compute_dtype: bfloat16 runs the scorer in bf16 (measured +13%
     on chip) with scores close to the f32 default."""
