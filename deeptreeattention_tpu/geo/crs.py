@@ -36,6 +36,11 @@ def normalize_epsg(value):
         return None
     if isinstance(value, (int, np.integer)):
         return int(value)
+    if isinstance(value, (float, np.floating)):
+        # EPSG codes read from pandas float columns (e.g. 32617.0)
+        if float(value).is_integer():
+            return int(value)
+        raise ValueError("non-integral EPSG code: {!r}".format(value))
     to_epsg = getattr(value, "to_epsg", None)
     if callable(to_epsg):
         code = to_epsg()

@@ -28,7 +28,13 @@ class GeoDataFrame(pd.DataFrame):
         else:
             super().__init__(data, *args, **kwargs)
             gcol = geometry if isinstance(geometry, str) else None
-        eff = crs if crs is not None else getattr(data, "crs", None)
+        eff = crs
+        if eff is None:
+            src = getattr(data, "crs", None)
+            # pandas resolves unknown attributes to columns: a source frame
+            # with a 'crs' COLUMN yields a Series here, not a CRS spec
+            if not isinstance(src, (pd.Series, pd.DataFrame)):
+                eff = src
         object.__setattr__(self, "crs", crs_mod.normalize_epsg(eff))
         object.__setattr__(self, "_geom_col", gcol or getattr(data, "_geom_col", None) or "geometry")
 
@@ -87,6 +93,9 @@ class GeoDataFrame(pd.DataFrame):
 
     # -- CRS -------------------------------------------------------------------
     def set_crs(self, epsg=None, crs=None, inplace=False, allow_override=True):
+        if epsg is None and crs is None:
+            # geopandas parity: silent CRS-clearing hides the bug downstream
+            raise ValueError("set_crs: must pass either epsg or crs")
         target = crs_mod.normalize_epsg(epsg if epsg is not None else crs)
         if inplace:
             object.__setattr__(self, "crs", target)
@@ -96,6 +105,8 @@ class GeoDataFrame(pd.DataFrame):
         return out
 
     def to_crs(self, epsg=None, crs=None, inplace=False):
+        if epsg is None and crs is None:
+            raise ValueError("to_crs: must pass either epsg or crs")
         target = crs_mod.normalize_epsg(epsg if epsg is not None else crs)
         if self.crs is None:
             raise ValueError("source CRS unset; call set_crs first")

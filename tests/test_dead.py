@@ -137,6 +137,34 @@ def test_bn_folded_eval_matches_module(model, config):
         dead.AliveDead(config=cfg, depth=18, seed=0)
 
 
+@pytest.mark.parametrize("depth", [34, 50])
+def test_resnet_eval_folded_parity_deep(depth):
+    """Pins fused.resnet_eval's Bottleneck branch (depth 50 — the production
+    dead scorer) and the projection-BasicBlock branch (34) against the
+    module's eval-mode forward; the module-level test above only exercises
+    depth 18. Running stats are perturbed away from init's (0, 1) so the
+    fold arithmetic is actually load-bearing."""
+    import jax
+    import jax.numpy as jnp
+
+    from deeptreeattention_tpu.models.fused import resnet_eval
+    from deeptreeattention_tpu.models.resnet import ResNet
+
+    model = ResNet(num_classes=2, depth=depth)
+    x = jnp.asarray(np.random.RandomState(depth).rand(2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    rng = np.random.RandomState(depth + 1)
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) + jnp.asarray(rng.rand(*a.shape), a.dtype) + 0.1,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    ref = model.apply(variables, x, train=False)
+    got = resnet_eval(variables, x, depth=depth, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_dead_bf16_compute_option(config, fixtures_dir):
     """dead.compute_dtype: bfloat16 runs the scorer in bf16 (measured +13%
     on chip) with scores close to the f32 default."""

@@ -241,6 +241,33 @@ def test_crs_accepts_geopandas_style_specs(tmp_path):
     assert src.crs == 32617
 
 
+def test_crs_edge_cases():
+    """Review regressions: float EPSG codes (pandas float columns) are
+    accepted, argless set_crs/to_crs raise instead of silently clearing the
+    CRS, and a source frame with a 'crs' COLUMN doesn't poison construction
+    (pandas attribute-to-column fallback)."""
+    assert crs.normalize_epsg(32617.0) == 32617
+    assert crs.normalize_epsg(np.float64(4326)) == 4326
+    with pytest.raises(ValueError):
+        crs.normalize_epsg(32617.5)
+
+    gdf = vector.GeoDataFrame(
+        pd.DataFrame({"a": [1]}), geometry=[geometry.Point(1.0, 2.0)], crs=32618
+    )
+    assert gdf.to_crs(epsg=np.float64(32617)).crs == 32617
+    with pytest.raises(ValueError):
+        gdf.set_crs()
+    with pytest.raises(ValueError):
+        gdf.to_crs()
+    assert gdf.crs == 32618  # unchanged by the failed calls
+
+    # a 'crs' data COLUMN is data, not a CRS spec
+    df = pd.DataFrame({"crs": ["x"], "a": [1]})
+    g2 = vector.GeoDataFrame(df, geometry=[geometry.Point(0.0, 0.0)])
+    assert g2.crs is None
+    assert list(g2["crs"]) == ["x"]
+
+
 # -- zonal ----------------------------------------------------------------------
 
 def test_zonal_stats(tmp_path):
