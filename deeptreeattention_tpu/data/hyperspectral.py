@@ -92,10 +92,30 @@ class H5Raster:
         self._Window = Window
         self._window_from_bounds = window_from_bounds
         self._window_transform = window_transform
-        self._f = hdf5.File(path)
         self.path = path
-        site = list(self._f.keys())[0]
-        g = self._f[site]["Reflectance"]
+        try:
+            self._f = hdf5.File(path)
+            self._init_from(self._f, bands)
+        except (NotImplementedError, AssertionError):
+            # Format feature the in-house codec doesn't cover (e.g. a
+            # shared/unsupported attribute on the dataset): same fallback
+            # policy as hdf5.read_with_fallback — reopen through h5py,
+            # whose API surface is a superset of what we use here.
+            self._fallback_to_h5py()
+            self._init_from(self._f, bands)
+
+    def _fallback_to_h5py(self):
+        import h5py
+
+        try:
+            self._f.close()
+        except Exception:
+            pass
+        self._f = h5py.File(self.path, "r")
+
+    def _init_from(self, f, bands):
+        site = list(f.keys())[0]
+        g = f[site]["Reflectance"]
         self._data = g["Reflectance_Data"]
         cs = g["Metadata"]["Coordinate_System"]
         self.crs = int(str(cs["EPSG Code"][()]).strip("b'\""))
@@ -133,7 +153,15 @@ class H5Raster:
         return [np.dtype(self.dtype).name] * self.count
 
     def _read_clamped(self, r0, c0, r1, c1):
-        cube = self._data[r0:r1, c0:c1]  # lazy: intersecting chunks only
+        try:
+            cube = self._data[r0:r1, c0:c1]  # lazy: intersecting chunks only
+        except (NotImplementedError, AssertionError):
+            # Unsupported chunk filter hit mid-read: switch this raster to
+            # h5py and retry the same window.
+            self._fallback_to_h5py()
+            site = list(self._f.keys())[0]
+            self._data = self._f[site]["Reflectance"]["Reflectance_Data"]
+            cube = self._data[r0:r1, c0:c1]
         return np.ascontiguousarray(np.moveaxis(cube[:, :, self._band_idx], -1, 0))
 
     def read(self, indexes=None, window=None, boundless=False, fill_value=0):

@@ -554,9 +554,16 @@ class Dataset:
                 buf = r.raw(body + 4, size)
             else:
                 version = r.u8(body)
-                if version in (1, 2):
+                if version == 1:
+                    # v1 layout per the HDF5 spec: Version(1), Space
+                    # Allocation Time(1), Fill Value Write Time(1),
+                    # Size(4), Fill Value(size) — there is NO "Fill
+                    # Value Defined" byte before the size in v1.
+                    size = r.u32(body + 3)
+                    buf = r.raw(body + 7, size)
+                elif version == 2:
                     defined = r.u8(body + 3)
-                    if version == 2 and not defined:
+                    if not defined:
                         continue
                     size = r.u32(body + 4)
                     buf = r.raw(body + 8, size)

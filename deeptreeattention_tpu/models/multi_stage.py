@@ -753,8 +753,11 @@ class MultiStage:
         obj.models, obj.variables, obj.optimizers = [], [], []
         obj.opt_states, obj.schedulers, obj.loss_weights = [], [], []
         obj._train_steps, obj._eval_steps, obj._val_steps = [], [], []
-        # precedence: what the model trained with > config > reference parity
-        obj.mask_mode = meta.get("mask_mode") or config.get("mask_mode", "batch")
+        # Precedence: what the model trained with wins. Metas that predate
+        # the key come from checkpoints trained under the only semantics
+        # that existed then ('batch') — defaulting to the config value would
+        # silently change year-mask behavior on reload.
+        obj.mask_mode = meta.get("mask_mode") or "batch"
         for level in range(obj.levels):
             model = LearnedEnsemble(
                 years=len(obj.years), classes=obj.num_classes[level],

@@ -10,6 +10,8 @@ the mesh simply spans more devices.
 """
 import collections
 import itertools
+import os
+import zlib
 
 import jax
 import numpy as np
@@ -77,6 +79,38 @@ def _pad_to(arr, n):
     return np.pad(arr, widths)
 
 
+# Cross-host batch-consistency check: shard_batch's multihost path assumes
+# every process built a bit-identical global batch (seeded loaders). Any
+# divergence (glob order, fixture drift) silently assembles a wrong global
+# array. Set DTA_VERIFY_GLOBAL_BATCH=N to all-gather a CRC of the batch
+# every Nth shard_batch call and raise on mismatch (N=1: every call).
+_VERIFY_EVERY = int(os.environ.get("DTA_VERIFY_GLOBAL_BATCH", "0") or 0)
+_verify_calls = itertools.count()
+
+
+def _batch_crc(batch):
+    items = sorted(batch.items()) if isinstance(batch, dict) else [("", batch)]
+    h = 0
+    for k, v in items:
+        v = np.ascontiguousarray(np.asarray(v))
+        h = zlib.crc32(str((k, v.dtype.str, v.shape)).encode(), h)
+        h = zlib.crc32(v.tobytes(), h)
+    return h
+
+
+def _verify_global_batch(batch):
+    from jax.experimental import multihost_utils
+
+    crc = _batch_crc(batch)
+    gathered = multihost_utils.process_allgather(np.array([crc], np.int64))
+    if not (np.asarray(gathered) == crc).all():
+        raise RuntimeError(
+            "shard_batch: processes disagree on the global batch "
+            "(per-process CRCs {}); seeded loaders must produce identical "
+            "rows on every host".format(np.asarray(gathered).ravel().tolist())
+        )
+
+
 def shard_batch(batch, mesh, axis=None):
     """Place a dict/array batch with the leading axis sharded over the mesh.
 
@@ -84,14 +118,17 @@ def shard_batch(batch, mesh, axis=None):
     zeros; pair with a "mask" entry to drop them in the loss).
 
     Every process passes the same GLOBAL batch (loaders are seeded, so hosts
-    agree). On a mesh that spans processes, `jax.device_put` cannot place
-    onto non-addressable devices — each process instead contributes its own
-    `local_batch_slice` rows via `jax.make_array_from_process_local_data`,
-    and the global array assembles without any cross-host data movement.
+    agree; set DTA_VERIFY_GLOBAL_BATCH=N to check). On a mesh that spans
+    processes, `jax.device_put` cannot place onto non-addressable devices —
+    each process instead contributes its own `local_batch_slice` rows via
+    `jax.make_array_from_process_local_data`, and the global array assembles
+    without any cross-host data movement.
     """
     sharding = data_sharding(mesh, axis)
     n = mesh.devices.size
     multihost = _spans_processes(mesh)
+    if multihost and _VERIFY_EVERY and next(_verify_calls) % _VERIFY_EVERY == 0:
+        _verify_global_batch(batch)
 
     def place(x):
         x = np.asarray(x)

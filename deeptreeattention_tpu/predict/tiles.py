@@ -275,9 +275,12 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
                 # last row instead of the rows the whole-tile path reads —
                 # unless the slab already reaches the tile bottom, where
                 # both paths clamp identically. _split_fitting guarantees
-                # every chunk reaching here fits.
-                assert int((rect[:, 0] + rect[:, 2]).max()) <= start + eff \
-                    or start + eff >= h, "chunk overspans its slab (bug)"
+                # every chunk reaching here fits; enforce with a real raise
+                # (not assert: must survive python -O) because a regression
+                # would produce silently clamped, wrong window reads.
+                if not (int((rect[:, 0] + rect[:, 2]).max()) <= start + eff
+                        or start + eff >= h):
+                    raise ValueError("chunk overspans its slab (bug)")
                 slab = jax.device_put(jnp.asarray(host_tiles[key][start:start + eff]))
                 local = rect.copy()
                 local[:, 0] -= start

@@ -424,3 +424,73 @@ def test_fill_value_via_read_with_fallback(tmp_path):
                          chunks=(2,), fillvalue=-1.0)
     out = hdf5.read_with_fallback(p, lambda f: np.asarray(f["d"][:]))
     np.testing.assert_array_equal(out, np.full(4, -1.0, np.float32))
+
+
+class _FakeReader:
+    """Minimal reader stub over a bytes buffer for message-parser units."""
+
+    def __init__(self, b):
+        self.b = b
+
+    def u8(self, o):
+        return self.b[o]
+
+    def u32(self, o):
+        return int.from_bytes(self.b[o:o + 4], "little")
+
+    def raw(self, o, n):
+        return bytes(self.b[o:o + n])
+
+
+def _parse_fill_direct(buf, msgs):
+    import types
+
+    stub = types.SimpleNamespace(
+        _dtype=types.SimpleNamespace(cls=0, size=4, np=np.float32))
+    return hdf5.Dataset._parse_fill(stub, _FakeReader(buf), msgs)
+
+
+def test_fill_message_v1_offsets():
+    """v1 fill messages have NO 'defined' byte: Size sits at body+3 and the
+    value at body+7 (HDF5 spec, Fill Value message v1). The regression this
+    pins: float32 1.0 fill (first LE byte 0x00) misread with v2 offsets
+    parses as size=0 and the fill is silently dropped."""
+    fill = np.float32(1.0).tobytes()  # 00 00 80 3f — first byte is zero
+    v1 = bytes([1, 2, 0]) + (4).to_bytes(4, "little") + fill
+    val = _parse_fill_direct(v1, [(hdf5.MSG_FILL, 0)])
+    assert val == np.float32(1.0)
+
+
+def test_fill_message_v2_offsets():
+    """v2 keeps the 'defined' byte at body+3; size at +4, value at +8."""
+    fill = np.float32(-9999.0).tobytes()
+    v2 = bytes([2, 2, 0, 1]) + (4).to_bytes(4, "little") + fill
+    assert _parse_fill_direct(v2, [(hdf5.MSG_FILL, 0)]) == np.float32(-9999.0)
+    # undefined fill: skipped, not misread
+    v2u = bytes([2, 2, 0, 0]) + (4).to_bytes(4, "little") + fill
+    assert _parse_fill_direct(v2u, [(hdf5.MSG_FILL, 0)]) is None
+
+
+def test_h5raster_falls_back_to_h5py(tmp_path, monkeypatch):
+    """An .h5 whose parse trips a NotImplementedError on the in-house codec
+    still opens on the main open_raster path, via the same h5py fallback
+    policy as hdf5.read_with_fallback (advisor round-3 finding: previously
+    predict.py's per-tile try/except turned this into a silently skipped
+    tile)."""
+    from deeptreeattention_tpu.data import hyperspectral
+
+    rng = np.random.RandomState(5)
+    refl = rng.randint(0, 10000, size=(20, 18, 426)).astype(np.int16)
+    p = str(tmp_path / "NEON_D03_OSBS_DP3_405000_3286000_reflectance.h5")
+    _write_neon_h5(p, refl)
+
+    expected = hyperspectral.H5Raster(p).read()
+
+    class _Trip:
+        def __init__(self, path):
+            raise NotImplementedError("hdf5: unsupported attribute message")
+
+    monkeypatch.setattr(hdf5, "File", _Trip)
+    r = hyperspectral.H5Raster(p)
+    assert r.count == 369
+    np.testing.assert_array_equal(r.read(), expected)

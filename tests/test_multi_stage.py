@@ -146,3 +146,24 @@ def test_checkpoint_restores_optimizer_state(m, config, tmp_path):
             m.opt_states[level] = optim.set_learning_rate(
                 m.opt_states[level], m.schedulers[level].lr
             )
+
+
+def test_old_checkpoint_mask_mode_defaults_to_batch(m, config, tmp_path):
+    """Checkpoints whose meta predates the mask_mode key were trained under
+    the only semantics that existed then ('batch'); reload must NOT pick up
+    the config's newer default ('sample') — that would silently change
+    year-mask behavior for batches containing all-zero years."""
+    import json
+
+    path = m.save_checkpoint(str(tmp_path / "pre_mask_mode"))
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("mask_mode", None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    cfg = dict(config)
+    cfg["mask_mode"] = "sample"
+    loaded = MultiStage.load_from_checkpoint(path, config=cfg)
+    assert loaded.mask_mode == "batch"

@@ -162,3 +162,34 @@ def test_tile_predictor_sharded_matches_single(eight_devices):
         W.make_tile_predictor(apply_fn, mesh=mesh)(variables, tile, anchors, ids, mask, 2)
     )
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_global_batch_crc_verification(monkeypatch):
+    """DTA_VERIFY_GLOBAL_BATCH guard: identical batches pass the CRC
+    all-gather; a divergent host raises instead of silently assembling an
+    inconsistent global array (advisor round-3 finding)."""
+    import numpy as np
+
+    from deeptreeattention_tpu.parallel import mesh as pmesh
+
+    b = {"x": np.arange(12, dtype=np.float32).reshape(3, 4),
+         "y": np.ones(3, np.int32)}
+    crc = pmesh._batch_crc(b)
+    assert crc == pmesh._batch_crc(
+        {"y": np.ones(3, np.int32),
+         "x": np.arange(12, dtype=np.float32).reshape(3, 4)})
+    b2 = {"x": b["x"].copy(), "y": b["y"].copy()}
+    b2["x"][0, 0] += 1
+    assert pmesh._batch_crc(b2) != crc
+
+    from jax.experimental import multihost_utils
+
+    # agreeing hosts: no raise
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda a: np.array([crc, crc], np.int64))
+    pmesh._verify_global_batch(b)
+    # diverging host: loud failure
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda a: np.array([crc, crc ^ 1], np.int64))
+    with pytest.raises(RuntimeError, match="disagree on the global batch"):
+        pmesh._verify_global_batch(b)
