@@ -1,10 +1,13 @@
 """Numerical parity: imported torch weights -> identical scores (<=1e-3).
 
 BASELINE.md requires per-crown class scores to match the PyTorch reference
-within 1e-3. We synthesize a state_dict with the reference's key naming,
-compute the reference forward math with torch.nn.functional primitives, and
-compare against our flax SpectralNetwork/Hang2020 running the imported
-weights in eval mode.
+within 1e-3. Two oracles:
+
+1. The reference's OWN torch modules (/root/reference/src/models/Hang2020.py,
+   year.py), imported and executed directly in eval mode — the authoritative
+   check (test_reference_* below; skipped when the checkout is absent).
+2. A hand-written torch.nn.functional re-derivation of the same math with a
+   synthesized state_dict — keeps parity pinned in reference-less CI.
 """
 import numpy as np
 import pytest
@@ -230,4 +233,128 @@ def test_metadata_fusion_parity(x_np):
         jnp.asarray(sites.numpy()),
         train=False,
     )
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Reference-oracle parity: the oracle below is the reference's OWN torch
+# code (/root/reference/src/models/Hang2020.py, /root/reference/src/models/year.py),
+# imported and executed directly — not a re-implementation. The hand-written
+# oracle above stays for reference-less CI.
+# ---------------------------------------------------------------------------
+import os
+
+REF_MODELS = "/root/reference/src/models"
+
+
+@pytest.fixture(scope="module")
+def ref_hang():
+    if not os.path.exists(os.path.join(REF_MODELS, "Hang2020.py")):
+        pytest.skip("reference checkout not available")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_hang2020", os.path.join(REF_MODELS, "Hang2020.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_year(ref_hang):
+    """Load reference year.py with its `src.models` / torchmetrics imports
+    satisfied (torchmetrics is absent here and unused by learned_ensemble)."""
+    import importlib.util
+    import sys as _sys
+    import types
+
+    if "torchmetrics" not in _sys.modules:
+        _sys.modules["torchmetrics"] = types.ModuleType("torchmetrics")
+    pkg_src = types.ModuleType("src")
+    pkg_models = types.ModuleType("src.models")
+    pkg_models.Hang2020 = ref_hang
+    pkg_src.models = pkg_models
+    _sys.modules.setdefault("src", pkg_src)
+    _sys.modules["src.models"] = pkg_models
+    spec = importlib.util.spec_from_file_location(
+        "ref_year", os.path.join(REF_MODELS, "year.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("bands", [369, 3])
+def test_reference_spectral_oracle(ref_hang, bands):
+    """flax SpectralNetwork == the reference's spectral_network module itself
+    (random torch init, eval mode), all three stage scores, <=1e-3."""
+    torch.manual_seed(0)
+    ref = ref_hang.spectral_network(bands=bands, classes=CLASSES).eval()
+    x = torch.tensor(
+        np.random.RandomState(3).rand(2, bands, 11, 11).astype(np.float32))
+    with torch.no_grad():
+        expected = [s.numpy() for s in ref(x)]
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = torch_import.import_spectral_only(state)
+    model = SpectralNetwork(bands=bands, classes=CLASSES)
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(np.moveaxis(x.numpy(), 1, -1)), train=False,
+    )
+    for e, o in zip(expected, ours):
+        np.testing.assert_allclose(np.asarray(o), e, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("bands", [369, 3])
+def test_reference_hang2020_oracle(ref_hang, bands):
+    """flax Hang2020 AND the fused eval path == the reference Hang2020
+    module's joint score (sigmoid-alpha weighted spectral/spatial mix)."""
+    from deeptreeattention_tpu.models import fused
+
+    torch.manual_seed(1)
+    ref = ref_hang.Hang2020(bands=bands, classes=CLASSES).eval()
+    x = torch.tensor(
+        np.random.RandomState(4).rand(2, bands, 11, 11).astype(np.float32))
+    with torch.no_grad():
+        expected = ref(x).numpy().astype(np.float32)
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = torch_import.import_hang2020(state)
+    model = Hang2020(bands=bands, classes=CLASSES)
+    xin = jnp.asarray(np.moveaxis(x.numpy(), 1, -1))
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        xin, train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-3, rtol=1e-3)
+
+    fused_out = fused.hang2020_eval(variables, xin, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fused_out), expected, atol=1e-3, rtol=1e-3)
+
+
+def test_reference_learned_ensemble_oracle(ref_year):
+    """flax LearnedEnsemble (vmapped year stack, batch mask) == the reference
+    learned_ensemble module (python loop skipping all-zero years)."""
+    from deeptreeattention_tpu.models.year import LearnedEnsemble
+
+    YEARS = 3
+    torch.manual_seed(2)
+    ref = ref_year.learned_ensemble(
+        years=YEARS, classes=CLASSES,
+        config={"pretrain_state_dict": None, "bands": BANDS}).eval()
+
+    rng = np.random.RandomState(5)
+    imgs = rng.rand(YEARS, 2, BANDS, 11, 11).astype(np.float32)
+    imgs[1] = 0.0  # a missing year: the reference loop skips it
+    with torch.no_grad():
+        expected = ref(torch.tensor(imgs)).numpy()
+
+    state = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = torch_import.import_learned_ensemble(state, years=YEARS)
+    model = LearnedEnsemble(years=YEARS, classes=CLASSES, bands=BANDS,
+                            mask_mode="batch")
+    # ours takes [B, Y, H, W, C]
+    xin = jnp.asarray(np.moveaxis(imgs, 2, -1).transpose(1, 0, 2, 3, 4))
+    ours = model.apply(variables, xin, train=False)
     np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-3, rtol=1e-3)
