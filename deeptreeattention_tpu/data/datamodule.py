@@ -33,7 +33,19 @@ class TreeData:
         self.comet_logger = comet_logger
         self.debug = debug
         self.data_dir = data_dir or config.get("data_dir", ".")
-        os.makedirs(os.path.join(self.data_dir, "boxes"), exist_ok=True)
+        if config.get("use_data_commit"):
+            if data_dir is None:
+                # the commit value locates the artifact (reference
+                # train.py:30-31 joins data_dir with the commit id): accept
+                # either a full artifact path or a commit id under
+                # config["data_dir"] — no second knob has to agree with it
+                commit = str(config["use_data_commit"])
+                self.data_dir = commit if os.path.isdir(commit) else \
+                    os.path.join(config.get("data_dir", "."), commit)
+        else:
+            # boxes/ only exists for the regenerate path (crown detection
+            # writes there); a loaded artifact dir may be read-only
+            os.makedirs(os.path.join(self.data_dir, "boxes"), exist_ok=True)
 
         from deeptreeattention_tpu.utils.profiling import StageTimer
 
