@@ -12,6 +12,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from deeptreeattention_tpu.geo import raster
 from deeptreeattention_tpu.models.resnet import ResNet
@@ -90,6 +91,55 @@ class _TileCache:
         tile = jnp.asarray(np.ascontiguousarray(np.moveaxis(arr, 0, -1)))
         self._c[path] = tile
         return tile
+
+
+def _classification_metrics(probs, labels):
+    """val loss + overall/per-class accuracy from softmax probs (the metric
+    set the reference logs per validation epoch)."""
+    preds = np.argmax(probs, 1)
+    p = np.clip(probs, 1e-8, 1.0)
+    out = {
+        "val_loss": float(np.mean(-np.log(p[np.arange(len(labels)), labels]))),
+        "Accuracy": float(np.mean(preds == labels)),
+    }
+    acc = M.per_class_accuracy(preds, labels, 2)
+    out["Alive Accuracy"] = float(acc[0])
+    out["Dead Accuracy"] = float(acc[1])
+    return out
+
+
+def folder_to_arrays(root, size=224, classes=CLASSES, cache_dir=None):
+    """Decode an ImageFolder tree once into (uint8 [N,size,size,3], int32 [N]).
+
+    NEAREST uint8 resize commutes with the per-pixel normalize in
+    rgb_transform_np, so downstream device-side normalization reproduces the
+    folder path bit-exactly. With cache_dir set, the decoded arrays are
+    memoized as one .npz (a 1-core host re-decoding 5.7k PNGs per run is the
+    bottleneck, not the TPU)."""
+    if cache_dir:
+        tag = "{}_{}".format(os.path.basename(os.path.normpath(root)), size)
+        cpath = os.path.join(cache_dir, "folder_{}.npz".format(tag))
+        if os.path.exists(cpath):
+            z = np.load(cpath, allow_pickle=False)
+            return z["x"], z["y"]
+    from PIL import Image
+
+    xs, ys = [], []
+    for label, cls in enumerate(classes):
+        for path in sorted(glob.glob(os.path.join(root, cls, "*"))):
+            img = np.asarray(Image.open(path).convert("RGB"))
+            h, w = img.shape[0], img.shape[1]
+            r = (np.arange(size) * h) // size
+            c = (np.arange(size) * w) // size
+            xs.append(np.ascontiguousarray(img[r[:, None], c[None, :], :]))
+            ys.append(label)
+    x = np.stack(xs).astype(np.uint8) if xs else np.zeros(
+        (0, size, size, 3), np.uint8)
+    y = np.asarray(ys, np.int32)
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cpath, x=x, y=y)
+    return x, y
 
 
 class FolderDataset:
@@ -195,10 +245,12 @@ class AliveDead:
                 return jax.nn.sigmoid(logits), mut
             return jax.nn.sigmoid(model.apply(variables, x, train=train))
 
+        self._apply_sigmoid = apply_sigmoid
         self._train_step = steps.make_train_step(
             apply_sigmoid, self.optimizer, donate=True,
             remat=config.get("remat", False))
         self._eval_step = steps.make_eval_step(apply_sigmoid)
+        self._array_steps = None
 
         # prediction-time quirk preserved from the reference
         # (src/predict.py:156): the dead model is scored in train mode, i.e.
@@ -293,6 +345,156 @@ class AliveDead:
             history.append(rec)
             log.info("dead epoch %d: %s", epoch, rec)
         return history
+
+    # -- device-resident training (real-dataset path) -----------------------
+    def _make_array_steps(self):
+        """jit steps over a device-resident uint8 dataset.
+
+        The folder fit() path ships normalized float32 batches host->device
+        every step — 4x the bytes of the source crops, per epoch, through
+        the relay tunnel. Here the whole uint8 dataset is uploaded ONCE;
+        each step gathers its shuffled rows, normalizes (ImageNet mean/std),
+        and augments (random hflip — reference src/models/dead.py:24
+        RandomHorizontalFlip(0.5)) on device, fused into the train step.
+        Static batch shape = one compiled program for the whole run."""
+        model = self.model
+        optimizer = self.optimizer
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def gather_norm(data, idx):
+            x = jnp.take(data, idx, axis=0).astype(jnp.float32) / 255.0
+            return (x - mean) / std
+
+        def forward(params, batch_stats, x):
+            probs, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return probs, mut["batch_stats"]
+
+        # config["remat"]: recompute activations in the backward pass —
+        # the HBM lever that lets batch 128 resnet50 f32 train alongside
+        # the device-resident dataset on a 16 GB chip
+        fwd = jax.checkpoint(forward) if self.config.get("remat") else forward
+
+        def forward_loss(params, batch_stats, x, labels, mask, class_weights):
+            probs, new_stats = fwd(params, batch_stats, x)
+            # sigmoid-then-CE kept for reference score compatibility
+            # (reference src/models/dead.py:53-55)
+            loss = steps.weighted_cross_entropy(
+                jax.nn.sigmoid(probs), labels, class_weights, mask)
+            return loss, new_stats
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, batch_stats, opt_state, data, labels, idx,
+                       mask, class_weights, key):
+            x = gather_norm(data, idx)
+            flip = jax.random.bernoulli(key, 0.5, (idx.shape[0],))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+            y = jnp.take(labels, idx, axis=0)
+            (loss, new_stats), grads = jax.value_and_grad(
+                forward_loss, has_aux=True)(params, batch_stats, x, y,
+                                            mask, class_weights)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_stats, new_opt_state, loss
+
+        @jax.jit
+        def eval_step(params, batch_stats, data, idx):
+            x = gather_norm(data, idx)
+            probs = jax.nn.sigmoid(model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False))
+            return jax.nn.softmax(probs, axis=-1)
+
+        return train_step, eval_step
+
+    def fit_arrays(self, x_train, y_train, x_val=None, y_val=None,
+                   epochs=None, batch_size=None, class_weights=None,
+                   seed=0, experiment=None):
+        """Train on an in-memory uint8 dataset (N, H, W, 3), device-resident.
+
+        `class_weights=None` keeps the reference's unweighted CE
+        (reference src/models/dead.py:91); pass "balanced" for
+        inverse-frequency weights (the 5.5:1 Alive:Dead imbalance knob).
+        Returns the per-epoch history list."""
+        cfg = self.config["dead"]
+        epochs = epochs or cfg["epochs"]
+        batch_size = batch_size or cfg["batch_size"]
+        if self._array_steps is None:
+            self._array_steps = self._make_array_steps()
+        train_step, eval_step = self._array_steps
+        if isinstance(class_weights, str) and class_weights == "balanced":
+            class_weights = steps.compute_loss_weights(y_train, 2)
+        cw = jnp.asarray(class_weights if class_weights is not None
+                         else np.ones(2), jnp.float32)
+        data = jax.device_put(jnp.asarray(x_train, jnp.uint8))
+        labels = jax.device_put(jnp.asarray(y_train, jnp.int32))
+        val_data = val_labels = None
+        if x_val is not None:
+            val_data = jax.device_put(jnp.asarray(x_val, jnp.uint8))
+            val_labels = np.asarray(y_val, np.int32)
+        n = len(y_train)
+        key = jax.random.PRNGKey(seed)
+        history = []
+        for epoch in range(epochs):
+            perm = np.random.RandomState(seed + epoch).permutation(n)
+            # pad to a full final batch (mask drops the repeats) so the whole
+            # run is ONE compiled program shape
+            pad = (-len(perm)) % batch_size
+            mask_host = np.ones(len(perm) + pad, np.float32)
+            if pad:
+                mask_host[len(perm):] = 0.0
+                perm = np.concatenate([perm, perm[:pad]])
+            loss_sum, n_batches = jnp.float32(0.0), 0
+            for start in range(0, len(perm), batch_size):
+                key, sub = jax.random.split(key)
+                idx = jnp.asarray(perm[start:start + batch_size], jnp.int32)
+                mask = jnp.asarray(mask_host[start:start + batch_size])
+                (self.variables["params"], self.variables["batch_stats"],
+                 self.opt_state, loss) = train_step(
+                    self.variables["params"],
+                    self.variables.get("batch_stats", {}),
+                    self.opt_state, data, labels, idx, mask, cw, sub)
+                loss_sum = loss_sum + loss
+                n_batches += 1
+            rec = {"epoch": epoch,
+                   "train_loss": float(loss_sum) / max(n_batches, 1)}
+            if val_data is not None:
+                probs = self.evaluate_arrays(val_data, batch_size=batch_size,
+                                             _already_on_device=True)
+                rec.update(_classification_metrics(probs, val_labels))
+                new_lr = self.scheduler.step(rec["val_loss"])
+                self.opt_state = optim.set_learning_rate(self.opt_state, new_lr)
+            if experiment:
+                experiment.log_metrics(rec, epoch=epoch)
+            history.append(rec)
+            log.info("dead epoch %d: %s", epoch, rec)
+        return history
+
+    def evaluate_arrays(self, x, batch_size=None, _already_on_device=False):
+        """Softmax probs for a uint8 array dataset (eval-mode BN, like the
+        reference's trainer.validate); padded static-shape batches."""
+        cfg = self.config["dead"]
+        batch_size = batch_size or cfg["batch_size"]
+        if self._array_steps is None:
+            self._array_steps = self._make_array_steps()
+        _, eval_step = self._array_steps
+        data = x if _already_on_device else jax.device_put(
+            jnp.asarray(x, jnp.uint8))
+        n = int(data.shape[0])
+        idx_all = np.arange(n)
+        pad = (-n) % batch_size
+        if pad:
+            idx_all = np.concatenate([idx_all, np.zeros(pad, np.int64)])
+        outs = []
+        for start in range(0, len(idx_all), batch_size):
+            idx = jnp.asarray(idx_all[start:start + batch_size], jnp.int32)
+            outs.append(eval_step(self.variables["params"],
+                                  self.variables.get("batch_stats", {}),
+                                  data, idx))
+        probs = np.concatenate([np.asarray(o) for o in outs])
+        return probs[:n]
 
     def validate(self, ds):
         cfg = self.config["dead"]

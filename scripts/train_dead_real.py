@@ -1,0 +1,162 @@
+"""Train + evaluate AliveDead on the reference's REAL labeled dataset.
+
+The reference ships its actual alive/dead training data in-repo
+(reference data/raw/dead_train: 4,819 Alive / 882 Dead PNG crowns;
+dead_test: 536/99) and trains a resnet50 2-class head on it
+(reference src/models/dead.py:29-50, train_dead.py:19-41). This script is
+the TPU-native equivalent of train_dead.py on that data, and publishes the
+project's first real-data accuracy figure:
+
+  python scripts/train_dead_real.py                 # full run -> BENCH_DEAD_REAL.json
+  python scripts/train_dead_real.py --fast          # subsampled smoke
+
+Differences from the reference, stated up front in the artifact:
+- no ImageNet-pretrained weights exist offline (torchvision absent), so the
+  backbone trains FROM SCRATCH; the reference fine-tunes pretrained resnet50.
+- the whole uint8 dataset is device-resident; gather + normalize + hflip are
+  fused into the jitted train step (models/dead.py fit_arrays).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_TRAIN = "/root/reference/data/raw/dead_train"
+REF_TEST = "/root/reference/data/raw/dead_test"
+
+
+def pr_at_threshold(probs, labels, thr):
+    """Precision/recall for the Dead class at dead-score >= thr (the
+    production gate: config dead_threshold, predict/tiles.py:410)."""
+    pred_dead = probs[:, 1] >= thr
+    tp = int(np.sum(pred_dead & (labels == 1)))
+    fp = int(np.sum(pred_dead & (labels == 0)))
+    fn = int(np.sum(~pred_dead & (labels == 1)))
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return prec, rec
+
+
+def pr_curve(probs, labels, n=101):
+    pts = []
+    for thr in np.linspace(0.0, 1.0, n):
+        p, r = pr_at_threshold(probs, labels, thr)
+        pts.append({"threshold": round(float(thr), 4),
+                    "precision": round(p, 4), "recall": round(r, 4)})
+    return pts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_dir", default=REF_TRAIN)
+    ap.add_argument("--test_dir", default=REF_TEST)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=50)
+    ap.add_argument("--class_weights", default="balanced",
+                    choices=["none", "balanced"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cache", default=os.path.join(REPO, "data", "cache"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_DEAD_REAL.json"))
+    ap.add_argument("--snapshot", default=os.path.join(REPO, "snapshots", "dead_real"))
+    ap.add_argument("--fast", action="store_true",
+                    help="subsample 256 train / 128 test, 2 epochs")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize activations (HBM headroom)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+
+    from deeptreeattention_tpu.models.dead import (
+        AliveDead, folder_to_arrays, _classification_metrics)
+    from deeptreeattention_tpu.utils.config import read_config
+
+    t0 = time.time()
+    x_tr, y_tr = folder_to_arrays(args.train_dir, cache_dir=args.cache)
+    x_te, y_te = folder_to_arrays(args.test_dir, cache_dir=args.cache)
+    t_decode = time.time() - t0
+    print("decoded train {} (Alive {}, Dead {}) test {} in {:.1f}s".format(
+        len(y_tr), int((y_tr == 0).sum()), int((y_tr == 1).sum()),
+        len(y_te), t_decode), flush=True)
+
+    if args.fast:
+        rs = np.random.RandomState(0)
+        it = rs.permutation(len(y_tr))[:256]
+        ie = rs.permutation(len(y_te))[:128]
+        x_tr, y_tr, x_te, y_te = x_tr[it], y_tr[it], x_te[ie], y_te[ie]
+
+    cfg = read_config(os.path.join(REPO, "config.yml"))
+    if args.remat:
+        cfg["remat"] = True
+    if args.batch_size:
+        cfg["dead"]["batch_size"] = args.batch_size
+    epochs = args.epochs or (2 if args.fast else cfg["dead"]["epochs"])
+
+    m = AliveDead(cfg, depth=args.depth, seed=args.seed)
+    cw = None if args.class_weights == "none" else "balanced"
+    t1 = time.time()
+    history = m.fit_arrays(x_tr, y_tr, x_te, y_te, epochs=epochs,
+                           class_weights=cw, seed=args.seed)
+    t_train = time.time() - t1
+
+    t2 = time.time()
+    probs = m.evaluate_arrays(x_te)
+    t_eval = time.time() - t2
+    metrics = _classification_metrics(probs, y_te)
+    preds = np.argmax(probs, 1)
+    confusion = [[int(np.sum((y_te == a) & (preds == b))) for b in (0, 1)]
+                 for a in (0, 1)]
+    p95, r95 = pr_at_threshold(probs, y_te, cfg["dead_threshold"])
+    prec, rec = pr_at_threshold(probs, y_te, 0.5)
+
+    os.makedirs(args.snapshot, exist_ok=True)
+    m.save_checkpoint(args.snapshot)
+
+    result = {
+        "dataset": {"train_dir": args.train_dir, "test_dir": args.test_dir,
+                    "n_train": int(len(y_tr)), "n_test": int(len(y_te)),
+                    "train_alive": int((y_tr == 0).sum()),
+                    "train_dead": int((y_tr == 1).sum()),
+                    "test_alive": int((y_te == 0).sum()),
+                    "test_dead": int((y_te == 1).sum())},
+        "config": {"depth": args.depth, "epochs": epochs,
+                   "batch_size": cfg["dead"]["batch_size"],
+                   "lr": cfg["dead"]["lr"],
+                   "class_weights": args.class_weights,
+                   "pretrained": False, "seed": args.seed,
+                   "remat": bool(cfg.get("remat")), "fast": bool(args.fast)},
+        "test": {
+            "accuracy": round(metrics["Accuracy"], 4),
+            "alive_accuracy": round(metrics["Alive Accuracy"], 4),
+            "dead_accuracy": round(metrics["Dead Accuracy"], 4),
+            "majority_baseline": round(float(np.mean(y_te == 0)), 4),
+            "confusion": confusion,  # rows true [Alive, Dead] x cols pred
+            "dead_precision_at_0.5": round(prec, 4),
+            "dead_recall_at_0.5": round(rec, 4),
+            "dead_precision_at_threshold": round(p95, 4),
+            "dead_recall_at_threshold": round(r95, 4),
+            "production_threshold": cfg["dead_threshold"],
+        },
+        "pr_curve": pr_curve(probs, y_te, n=41),
+        "history": [{k: round(float(v), 4) for k, v in h.items()}
+                    for h in history],
+        "timing_s": {"decode": round(t_decode, 1), "train": round(t_train, 1),
+                     "eval": round(t_eval, 1)},
+        "snapshot": args.snapshot,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result["test"], indent=1))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
