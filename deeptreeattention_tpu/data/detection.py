@@ -222,6 +222,17 @@ def load_detector(config=None):
     meter-aware CrownDetector. config["crown_diameter"] tunes the physical
     crown-size prior."""
     config = config or {}
+    weights = config.get("retinanet_weights")
+    if weights:
+        # DeepForest/torchvision RetinaNet weights (the reference's
+        # production detector, reference src/generate.py:17-42)
+        from deeptreeattention_tpu.models.retinanet import RetinaNetDetector
+
+        return RetinaNetDetector.from_torch(
+            weights,
+            score_thresh=config.get("retinanet_score_thresh", 0.1),
+            nms_thresh=config.get("retinanet_nms_thresh", 0.4),
+        )
     ckpt = config.get("crown_detector")
     if ckpt:
         from deeptreeattention_tpu.models.detector import LearnedDetector

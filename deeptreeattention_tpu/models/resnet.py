@@ -75,7 +75,11 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
+    def __call__(self, x, train=False, features=False):
+        """features=True returns the stage feature maps {"c2".."c5"} instead
+        of class logits (the FPN backbone contract, models/retinanet.py);
+        submodule names are unchanged so train.torch_import.import_resnet50's
+        key mapping covers both uses."""
         stages, bottleneck = DEPTHS[self.depth]
         block = Bottleneck if bottleneck else BasicBlock
         x = x.astype(self.dtype)
@@ -85,10 +89,14 @@ class ResNet(nn.Module):
                          dtype=jnp.float32, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        feats = {}
         for stage, blocks in enumerate(stages):
             for b in range(blocks):
                 strides = 2 if stage > 0 and b == 0 else 1
                 x = block(self.width * 2**stage, strides, self.dtype,
                           name="stage{}_block{}".format(stage + 1, b))(x, train=train)
+            feats["c{}".format(stage + 2)] = x
+        if features:
+            return feats
         x = jnp.mean(x, axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)

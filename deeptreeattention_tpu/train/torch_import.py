@@ -408,3 +408,93 @@ def load_multistage_weights(ms, state_or_path):
             ms.loss_weights[lvl] = jnp.asarray(loss_weights[lvl])
         ms.opt_states[lvl] = ms.optimizers[lvl].init(ms.variables[lvl]["params"])
     return ms
+
+
+def import_retinanet(state_or_path, num_classes=1, depth=50):
+    """torchvision retinanet_resnet50_fpn / DeepForest state_dict ->
+    models.retinanet.RetinaNet variables.
+
+    The reference's production detector is DeepForest's released RetinaNet
+    (reference src/generate.py:17-42); this makes those weights a file-drop.
+    Handles both torchvision head layouts: plain Sequential towers
+    (`head.classification_head.conv.{0,2,4,6}.weight`, relu interleaved) and
+    Conv2dNormActivation (`conv.{i}.0.weight`), plus FPN block naming with
+    and without the trailing `.0`. Lightning/DeepForest `model.` prefixes are
+    stripped.
+    """
+    state = (
+        load_state_dict(state_or_path) if isinstance(state_or_path, str) else
+        {k: np.asarray(v) for k, v in state_or_path.items()}
+    )
+    state = {k[len("model."):] if k.startswith("model.") else k: v
+             for k, v in state.items()}
+
+    def pick(*names):
+        for n in names:
+            if n in state:
+                return state[n]
+        raise KeyError("retinanet import: none of {} in state_dict".format(names))
+
+    # -- backbone body: reuse the resnet50 mapping ------------------------
+    body_state = {k[len("backbone.body."):]: v for k, v in state.items()
+                  if k.startswith("backbone.body.")}
+    if not body_state:
+        raise KeyError("no 'backbone.body.*' keys in state_dict")
+    body = import_resnet50(body_state, num_classes=0, depth=depth)
+
+    # -- FPN ---------------------------------------------------------------
+    fpn_p = {}
+    for i in range(3):
+        fpn_p["inner{}".format(i)] = {
+            "kernel": _conv2d(pick(
+                "backbone.fpn.inner_blocks.{}.weight".format(i),
+                "backbone.fpn.inner_blocks.{}.0.weight".format(i))),
+            "bias": pick("backbone.fpn.inner_blocks.{}.bias".format(i),
+                         "backbone.fpn.inner_blocks.{}.0.bias".format(i)),
+        }
+        fpn_p["layer{}".format(i)] = {
+            "kernel": _conv2d(pick(
+                "backbone.fpn.layer_blocks.{}.weight".format(i),
+                "backbone.fpn.layer_blocks.{}.0.weight".format(i))),
+            "bias": pick("backbone.fpn.layer_blocks.{}.bias".format(i),
+                         "backbone.fpn.layer_blocks.{}.0.bias".format(i)),
+        }
+    for name, key in (("p6", "p6"), ("p7", "p7")):
+        fpn_p[name] = {
+            "kernel": _conv2d(state["backbone.fpn.extra_blocks.{}.weight".format(key)]),
+            "bias": state["backbone.fpn.extra_blocks.{}.bias".format(key)],
+        }
+
+    # -- heads ---------------------------------------------------------------
+    head_p = {}
+    for tower, flax_prefix in (("classification_head", "cls_conv"),
+                               ("regression_head", "reg_conv")):
+        for i in range(4):
+            head_p["{}{}".format(flax_prefix, i)] = {
+                "kernel": _conv2d(pick(
+                    "head.{}.conv.{}.weight".format(tower, 2 * i),
+                    "head.{}.conv.{}.0.weight".format(tower, i),
+                    "head.{}.conv.{}.weight".format(tower, i))),
+                "bias": pick(
+                    "head.{}.conv.{}.bias".format(tower, 2 * i),
+                    "head.{}.conv.{}.0.bias".format(tower, i),
+                    "head.{}.conv.{}.bias".format(tower, i)),
+            }
+    head_p["cls_logits"] = {
+        "kernel": _conv2d(state["head.classification_head.cls_logits.weight"]),
+        "bias": state["head.classification_head.cls_logits.bias"],
+    }
+    head_p["bbox_reg"] = {
+        "kernel": _conv2d(state["head.regression_head.bbox_reg.weight"]),
+        "bias": state["head.regression_head.bbox_reg.bias"],
+    }
+    n_out = head_p["cls_logits"]["bias"].shape[0]
+    if n_out != 9 * num_classes:
+        raise ValueError(
+            "cls_logits has {} outputs; expected 9 anchors x {} classes".format(
+                n_out, num_classes))
+
+    return {
+        "params": {"body": body["params"], "fpn": fpn_p, "head": head_p},
+        "batch_stats": {"body": body["batch_stats"]},
+    }
