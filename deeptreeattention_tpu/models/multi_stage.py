@@ -456,7 +456,20 @@ class MultiStage:
         single-host meshes."""
         from deeptreeattention_tpu.parallel import replicate, spans_processes
 
-        if self.mesh is None or not spans_processes(self.mesh):
+        if self.mesh is None:
+            return
+        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            # 2-D data x model mesh (config model_parallel): shard the
+            # year-stacked LearnedEnsemble leaves over "model" (when the
+            # year count divides the axis), replicate the rest; GSPMD
+            # derives the step's collectives from these placements
+            from deeptreeattention_tpu.parallel.train import place_variables
+
+            self.variables = place_variables(self.variables, self.mesh)
+            self.opt_states = place_variables(self.opt_states, self.mesh)
+            self.loss_weights = place_variables(self.loss_weights, self.mesh)
+            return
+        if not spans_processes(self.mesh):
             return
         self.variables = replicate(self.variables, self.mesh)
         self.opt_states = replicate(self.opt_states, self.mesh)

@@ -35,17 +35,33 @@ def resolve_mesh(config=None, mesh=None):
     in a multi-process run — the per-tile fan-out mode (each host sweeps its
     own tile partition independently; collectives stay on local ICI), versus
     the default global mesh where every process executes the same program in
-    lockstep (synchronized data-parallel training)."""
+    lockstep (synchronized data-parallel training).
+
+    config["model_parallel"] > 1 builds a 2-D ("data", "model") mesh: the
+    batch shards over "data", year-stacked LearnedEnsemble parameters over
+    "model" (parallel/train.place_variables). Single-process (or
+    mesh_scope=local) only — a pod's DCN axis stays data-parallel."""
     if mesh is not None:
         return mesh
     cfg = config or {}
     local_scope = cfg.get("mesh_scope") == "local"
+    mp = int(cfg.get("model_parallel") or 1)
     if not local_scope and jax.process_count() > 1:
+        if mp > 1:
+            raise ValueError(
+                "model_parallel > 1 is single-process (or mesh_scope=local) "
+                "only; pod meshes are data-parallel over DCN")
         from deeptreeattention_tpu.parallel.distributed import make_pod_mesh
 
         return make_pod_mesh()
     devices = jax.local_devices() if local_scope else jax.devices()
     n = cfg.get("mesh_devices")
+    if mp > 1:
+        from deeptreeattention_tpu.parallel.train import make_mesh_2d
+
+        if n in (None, 0, -1):
+            n = len(devices)
+        return make_mesh_2d(n, model_parallel=mp, devices=devices)
     if n in (None, 0, 1):
         return None
     if n == -1:
@@ -53,13 +69,20 @@ def resolve_mesh(config=None, mesh=None):
     return make_mesh(n, devices=devices) if n > 1 else None
 
 
+def _batch_axes(mesh, axis=None):
+    """Mesh axes the batch shards over: every axis EXCEPT "model" (a
+    2-D data x model mesh replicates the batch across the model groups; a
+    pod ("slice", "data") mesh shards over both — within-slice portions ride
+    ICI, the outer axis DCN)."""
+    if axis is not None:
+        return axis if isinstance(axis, tuple) else (axis,)
+    names = tuple(a for a in mesh.axis_names if a != "model")
+    return names or mesh.axis_names
+
+
 def data_sharding(mesh, axis=None):
-    # multi-axis (pod) meshes shard the batch over ALL axes: within-slice
-    # portions ride ICI, the outer "slice" axis maps to DCN
-    axis = axis or (
-        mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
-    )
-    return NamedSharding(mesh, P(axis))
+    names = _batch_axes(mesh, axis)
+    return NamedSharding(mesh, P(names if len(names) > 1 else names[0]))
 
 
 def _spans_processes(mesh):
@@ -125,7 +148,9 @@ def shard_batch(batch, mesh, axis=None):
     without any cross-host data movement.
     """
     sharding = data_sharding(mesh, axis)
-    n = mesh.devices.size
+    # pad to the batch-shard count, not total devices: a 2-D data x model
+    # mesh replicates the batch over "model"
+    n = int(np.prod([mesh.shape[a] for a in _batch_axes(mesh, axis)]))
     multihost = _spans_processes(mesh)
     if multihost and _VERIFY_EVERY and next(_verify_calls) % _VERIFY_EVERY == 0:
         _verify_global_batch(batch)

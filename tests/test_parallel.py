@@ -193,3 +193,41 @@ def test_global_batch_crc_verification(monkeypatch):
                         lambda a: np.array([crc, crc ^ 1], np.int64))
     with pytest.raises(RuntimeError, match="disagree on the global batch"):
         pmesh._verify_global_batch(b)
+
+
+def test_model_parallel_config_plumbing(eight_devices, dm, config):
+    """config["model_parallel"]=2 reaches production: resolve_mesh builds the
+    2-D ("data","model") mesh, MultiStage trains and predicts on it, and the
+    results match pure single-device execution (no dryrun-only topology)."""
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+    from deeptreeattention_tpu.parallel import resolve_mesh
+
+    cfg = dict(config)
+    cfg["model_parallel"] = 2
+    cfg["mesh_devices"] = -1
+    mesh = resolve_mesh(cfg)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+    # batches shard over "data" only; padding is to the data-axis size
+    batch = mesh_mod.shard_batch({"x": np.ones((6, 3), np.float32)}, mesh)
+    assert batch["x"].shape[0] == 8  # padded to a multiple of 4, given 6 -> 8
+    spec = batch["x"].sharding.spec
+    assert spec[0] == "data" and "model" not in str(spec)
+
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                   config=cfg)
+    assert m.mesh is mesh or m.mesh.axis_names == ("data", "model")
+
+    # same seeded init, no mesh: predictions must agree bit-for-bit-ish
+    single = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                        config=dict(config), mesh=None)
+    a = m.predict(dm.test.head(6))
+    b = single.predict(dm.test.head(6))
+    for (ia, pa), (ib, pb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        for la, lb in zip(pa, pb):
+            np.testing.assert_allclose(la, lb, atol=2e-5)
+
+    history = m.fit(epochs=1, fast_dev_run=True)
+    assert all(np.isfinite(history[0]["train_loss"]))
