@@ -46,9 +46,13 @@ class CrownDetectorNet(nn.Module):
         heat = nn.Conv(1, (1, 1), name="heat",
                        bias_init=nn.initializers.constant(-2.19))(x)  # sigmoid ~0.1 prior
         size = nn.Conv(2, (1, 1), name="size")(x)
-        return jax.nn.sigmoid(heat[..., 0]).astype(jnp.float32), jnp.maximum(
-            size, 0.0
-        ).astype(jnp.float32)
+        # sub-stride center offset (CenterNet's O head): at stride 4 a
+        # cell-center box can be off by 2 px per axis — on a 12 px crown
+        # that alone caps IoU near 0.7, so regress the residual
+        off = nn.Conv(2, (1, 1), name="offset")(x)
+        return (jax.nn.sigmoid(heat[..., 0]).astype(jnp.float32),
+                jnp.maximum(size, 0.0).astype(jnp.float32),
+                jnp.clip(off, -0.5, 0.5).astype(jnp.float32))
 
 
 def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
@@ -65,6 +69,7 @@ def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
     B = len(boxes_list)
     heat = np.zeros((B, h, w), np.float32)
     size = np.zeros((B, h, w, 2), np.float32)
+    off = np.zeros((B, h, w, 2), np.float32)
     mask = np.zeros((B, h, w), np.float32)
     yy, xx = np.mgrid[0:h, 0:w]
     for b, boxes in enumerate(boxes_list):
@@ -80,12 +85,16 @@ def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
             # the exact-center cell is the positive; keep it at 1
             heat[b, ci, cj] = 1.0
             size[b, ci, cj] = ((x1 - x0) / stride, (y1 - y0) / stride)
+            # sub-cell residual from the cell CENTER (decode adds 0.5)
+            off[b, ci, cj] = (cx - (cj + 0.5), cy - (ci + 0.5))
             mask[b, ci, cj] = 1.0
-    return heat, size, mask
+    return heat, size, off, mask
 
 
-def detector_loss(pred_heat, pred_size, heat, size, mask, alpha=2.0, beta=4.0):
-    """Penalty-reduced focal (CenterNet eq. 1) + masked L1 size loss."""
+def detector_loss(pred_heat, pred_size, heat, size, mask, alpha=2.0, beta=4.0,
+                  pred_off=None, off=None):
+    """Penalty-reduced focal (CenterNet eq. 1) + masked L1 size loss
+    + masked L1 offset loss (CenterNet eq. 2/3 weights: 0.1 size, 1.0 off)."""
     eps = 1e-6
     p = jnp.clip(pred_heat, eps, 1 - eps)
     pos = jnp.where(heat >= 0.999, 1.0, 0.0)
@@ -94,13 +103,19 @@ def detector_loss(pred_heat, pred_size, heat, size, mask, alpha=2.0, beta=4.0):
     n_pos = jnp.maximum(jnp.sum(pos), 1.0)
     focal = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
     l1 = jnp.sum(jnp.abs(pred_size - size) * mask[..., None]) / n_pos
-    return focal + 0.1 * l1
+    loss = focal + 0.1 * l1
+    if pred_off is not None:
+        loss = loss + jnp.sum(
+            jnp.abs(pred_off - off) * mask[..., None]) / n_pos
+    return loss
 
 
-def decode(heat, size, stride=STRIDE, threshold=0.3, top_k=200):
-    """Heatmap -> boxes df (pixel coords). 3x3 local-max suppression."""
+def decode(heat, size, off=None, stride=STRIDE, threshold=0.3, top_k=200):
+    """Heatmap -> boxes df (pixel coords). 3x3 local-max suppression;
+    `off` (sub-cell center residuals) refines peaks past stride quantization."""
     heat = np.asarray(heat)
     size = np.asarray(size)
+    off = None if off is None else np.asarray(off)
     from scipy import ndimage
 
     local_max = ndimage.maximum_filter(heat, size=3) == heat
@@ -112,6 +127,9 @@ def decode(heat, size, stride=STRIDE, threshold=0.3, top_k=200):
         i, j = ys[k], xs[k]
         bw, bh = size[i, j, 0] * stride, size[i, j, 1] * stride
         cx, cy = j * stride + stride / 2, i * stride + stride / 2
+        if off is not None:
+            cx += off[i, j, 0] * stride
+            cy += off[i, j, 1] * stride
         rows.append(
             {
                 "xmin": cx - bw / 2, "ymin": cy - bh / 2,
@@ -143,13 +161,15 @@ class LearnedDetector(Detector):
         optimizer = self.optimizer
 
         @jax.jit
-        def train_step(params, batch_stats, opt_state, images, heat, size, mask):
+        def train_step(params, batch_stats, opt_state, images, heat, size,
+                       off, mask):
             def loss_fn(p):
-                (ph, ps), mut = model.apply(
+                (ph, ps, po), mut = model.apply(
                     {"params": p, "batch_stats": batch_stats}, images,
                     train=True, mutable=["batch_stats"],
                 )
-                return detector_loss(ph, ps, heat, size, mask), mut["batch_stats"]
+                return detector_loss(ph, ps, heat, size, mask,
+                                     pred_off=po, off=off), mut["batch_stats"]
 
             (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             import optax
@@ -167,7 +187,7 @@ class LearnedDetector(Detector):
     def fit(self, images, boxes_list, steps=200, batch_size=8, seed=0, log_every=50):
         """images: [N, H, W, 3] uint8/float; boxes_list: list of [n_i, 4]."""
         images = np.asarray(images, np.float32)
-        heat, size, mask = render_targets(boxes_list, images.shape[1:3])
+        heat, size, off, mask = render_targets(boxes_list, images.shape[1:3])
         rng = np.random.RandomState(seed)
         losses = []
         n = len(images)
@@ -176,7 +196,8 @@ class LearnedDetector(Detector):
             params, stats, self.opt_state, loss = self._train_step(
                 self.variables["params"], self.variables.get("batch_stats", {}),
                 self.opt_state, jnp.asarray(images[idx]), jnp.asarray(heat[idx]),
-                jnp.asarray(size[idx]), jnp.asarray(mask[idx]),
+                jnp.asarray(size[idx]), jnp.asarray(off[idx]),
+                jnp.asarray(mask[idx]),
             )
             self.variables = {"params": params, "batch_stats": stats}
             losses.append(loss)
@@ -195,11 +216,12 @@ class LearnedDetector(Detector):
         pw = -(-w // STRIDE) * STRIDE
         padded = np.zeros((ph, pw, 3), np.float32)
         padded[:h, :w] = img
-        heat, sizes = self._infer_step(
+        heat, sizes, offs = self._infer_step(
             self.variables["params"], self.variables.get("batch_stats", {}),
             jnp.asarray(padded[None]),
         )
-        boxes = decode(np.asarray(heat)[0], np.asarray(sizes)[0], threshold=self.threshold)
+        boxes = decode(np.asarray(heat)[0], np.asarray(sizes)[0],
+                       np.asarray(offs)[0], threshold=self.threshold)
         if boxes.empty:
             return None
         boxes["xmax"] = boxes.xmax.clip(upper=w - 1)
@@ -238,13 +260,15 @@ class LearnedDetector(Detector):
                 group = np.concatenate(
                     [group, np.zeros((batch - k,) + group.shape[1:], group.dtype)]
                 )
-            heat, sizes = self._infer_step(
+            heat, sizes, offs = self._infer_step(
                 self.variables["params"], self.variables.get("batch_stats", {}),
                 jnp.asarray(group),
             )
-            heat, sizes = np.asarray(heat)[:k], np.asarray(sizes)[:k]
+            heat, sizes, offs = (np.asarray(heat)[:k], np.asarray(sizes)[:k],
+                                 np.asarray(offs)[:k])
             for g in range(k):
-                boxes = decode(heat[g], sizes[g], threshold=self.threshold)
+                boxes = decode(heat[g], sizes[g], offs[g],
+                               threshold=self.threshold)
                 if boxes.empty:
                     continue
                 # partial edge patches are zero-padded to the full patch
@@ -282,6 +306,12 @@ class LearnedDetector(Detector):
     def load_from_checkpoint(cls, path, config=None):
         tree, meta = checkpoints.load_checkpoint(path)
         obj = cls(config=config, width=int(meta.get("width", 32)))
+        if "offset" not in tree.get("params", {}):
+            # checkpoint predates the offset head: zero offsets reproduce
+            # the old cell-center decode exactly
+            zero = jax.tree_util.tree_map(
+                jnp.zeros_like, obj.variables["params"]["offset"])
+            tree.setdefault("params", {})["offset"] = zero
         obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
         return obj
 

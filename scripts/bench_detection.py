@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from deeptreeattention_tpu.data.detection import CrownDetector
-from deeptreeattention_tpu.data.synthetic import detection_prf, make_forest_scene
+from deeptreeattention_tpu.data.synthetic import (
+    detection_prf, make_forest_scene, make_textured_scene)
 from deeptreeattention_tpu.models.detector import LearnedDetector
 
 RES = 0.5
@@ -25,11 +26,12 @@ EVAL_SEEDS = (0, 1, 2)
 TRAIN_SEEDS = range(10, 14)
 
 
-def crops(scene_seeds, patch=96, crops_per_scene=30, seed=0):
+def crops(scene_seeds, patch=96, crops_per_scene=30, seed=0,
+          scene_fn=make_forest_scene):
     rng = np.random.RandomState(seed)
     scenes, blists = [], []
     for s in scene_seeds:
-        img, gt = make_forest_scene(n_crowns=120, size=512, res=RES, seed=s)
+        img, gt = scene_fn(n_crowns=120, size=512, res=RES, seed=s)
         for _ in range(crops_per_scene):
             r0 = rng.randint(0, 512 - patch + 1)
             c0 = rng.randint(0, 512 - patch + 1)
@@ -44,10 +46,10 @@ def crops(scene_seeds, patch=96, crops_per_scene=30, seed=0):
     return np.stack(scenes), blists
 
 
-def evaluate(predict, name):
+def evaluate(predict, name, scene_fn=make_forest_scene):
     per_seed = []
     for seed in EVAL_SEEDS:
-        img, gt = make_forest_scene(n_crowns=120, size=512, res=RES, seed=seed)
+        img, gt = scene_fn(n_crowns=120, size=512, res=RES, seed=seed)
         boxes = predict(img)
         m = detection_prf(
             boxes[["xmin", "ymin", "xmax", "ymax"]].values, gt,
@@ -77,13 +79,40 @@ def main():
     det = CrownDetector(crown_diameter=5.0)
     results["crown_detector"] = evaluate(
         lambda img: det.predict_array(img, res=RES), "CrownDetector")
+    print("CrownDetector on textured (out-of-family) scenes:")
+    results["crown_detector_textured"] = evaluate(
+        lambda img: det.predict_array(img, res=RES), "CrownDetector/textured",
+        scene_fn=make_textured_scene)
 
-    print("LearnedDetector (CenterNet, trained on scenes 10-13):")
+    print("LearnedDetector (CenterNet, trained on forest scenes 10-13):")
     scenes, blists = crops(TRAIN_SEEDS)
     ldet = LearnedDetector(width=16, patch=96, threshold=0.25)
     losses = ldet.fit(scenes, blists, steps=600, batch_size=8)
     results["learned_detector"] = evaluate(ldet.predict_image, "LearnedDetector")
     results["learned_detector"]["train_loss_first_last"] = [losses[0], losses[-1]]
+
+    # cross-domain: same weights, out-of-family scene family (shadows,
+    # crown texture, occlusion, color jitter, understory distractors)
+    print("LearnedDetector CROSS-DOMAIN (trained forest -> eval textured):")
+    results["learned_detector_cross_domain"] = evaluate(
+        ldet.predict_image, "LearnedDetector/forest->textured",
+        scene_fn=make_textured_scene)
+
+    # reverse direction: trained on textured, evaluated on both
+    print("LearnedDetector (trained on textured scenes 10-13):")
+    scenes_t, blists_t = crops(TRAIN_SEEDS, scene_fn=make_textured_scene)
+    ldet_t = LearnedDetector(width=16, patch=96, threshold=0.25)
+    ldet_t.fit(scenes_t, blists_t, steps=600, batch_size=8)
+    results["learned_detector_textured_infamily"] = evaluate(
+        ldet_t.predict_image, "LearnedDetector/textured->textured",
+        scene_fn=make_textured_scene)
+    print("LearnedDetector CROSS-DOMAIN (trained textured -> eval forest):")
+    results["learned_detector_cross_domain_reverse"] = evaluate(
+        ldet_t.predict_image, "LearnedDetector/textured->forest")
+
+    fwd = results["learned_detector"]["aggregate"]["f1"]
+    xd = results["learned_detector_cross_domain"]["aggregate"]["f1"]
+    results["cross_domain_f1_drop"] = round(fwd - xd, 4)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH_DETECTION.json")

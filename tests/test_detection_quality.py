@@ -115,7 +115,9 @@ def test_learned_detector_trains_on_deepforest_labels():
 
     det = LearnedDetector(width=16, patch=P, threshold=0.2)
     losses = det.fit(np.stack(scenes), blists, steps=500, batch_size=8)
-    assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+    # /5 not /10: the offset-head L1 (round 4) adds a ~0.3 loss floor at
+    # convergence (mean |sub-cell residual| over positives)
+    assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])
 
     boxes = det.predict_image(img)
     assert boxes is not None and 2 <= len(boxes) <= 10

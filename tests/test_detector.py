@@ -22,12 +22,14 @@ def synth_scene(rng, size=128, n=5):
 
 
 def test_render_targets_shapes():
-    heat, size, mask = render_targets([np.array([[8, 8, 24, 24]])], (64, 64))
+    heat, size, off, mask = render_targets([np.array([[8, 8, 24, 24]])], (64, 64))
     assert heat.shape == (1, 16, 16)
     assert mask.sum() == 1
     ci, cj = np.unravel_index(np.argmax(heat[0]), heat[0].shape)
     assert (ci, cj) == (4, 4)
     np.testing.assert_allclose(size[0, ci, cj], [4, 4])
+    # box center is 16 px = cell 4.0; cell center is 4.5 -> offset -0.5
+    np.testing.assert_allclose(off[0, ci, cj], [-0.5, -0.5])
 
 
 def test_decode_roundtrip():
@@ -123,3 +125,37 @@ def test_learned_detector_batched_tile_sweep(tmp_path):
     out2 = det.predict_tile(path2)
     assert out2 is not None
     assert (out2.xmax <= 249).all() and (out2.ymax <= 191).all()
+
+
+def test_decode_offset_refinement():
+    """The offset head shifts the decoded center by off*stride — sub-stride
+    localization the cell-center convention cannot reach."""
+    heat = np.zeros((16, 16), np.float32)
+    heat[5, 7] = 0.9
+    size = np.zeros((16, 16, 2), np.float32)
+    size[5, 7] = (4, 4)
+    off = np.zeros((16, 16, 2), np.float32)
+    off[5, 7] = (0.25, -0.5)
+    boxes = decode(heat, size, off, threshold=0.5)
+    row = boxes.iloc[0]
+    assert abs((row.xmax + row.xmin) / 2 - (7 * 4 + 2 + 1.0)) < 1e-6
+    assert abs((row.ymax + row.ymin) / 2 - (5 * 4 + 2 - 2.0)) < 1e-6
+
+
+def test_checkpoint_without_offset_head_loads(tmp_path):
+    """Round-3 checkpoints predate the offset head; they reload with zero
+    offsets (bit-identical to the old cell-center decode)."""
+    from deeptreeattention_tpu.train import checkpoints as ckpt_mod
+
+    det = LearnedDetector(width=8, patch=32, threshold=0.5)
+    tree = {
+        "params": {k: v for k, v in det.variables["params"].items()
+                   if k != "offset"},
+        "batch_stats": det.variables["batch_stats"],
+    }
+    path = ckpt_mod.save_checkpoint(str(tmp_path / "old_det"), tree, {"width": 8})
+    loaded = LearnedDetector.load_from_checkpoint(path)
+    assert float(np.abs(np.asarray(
+        loaded.variables["params"]["offset"]["kernel"])).max()) == 0.0
+    img = np.random.RandomState(0).rand(32, 32, 3).astype(np.float32) * 255
+    loaded.predict_image(img)  # forward smoke with injected zeros
