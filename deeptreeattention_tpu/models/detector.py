@@ -48,11 +48,14 @@ class CrownDetectorNet(nn.Module):
         size = nn.Conv(2, (1, 1), name="size")(x)
         # sub-stride center offset (CenterNet's O head): at stride 4 a
         # cell-center box can be off by 2 px per axis — on a 12 px crown
-        # that alone caps IoU near 0.7, so regress the residual
+        # that alone caps IoU near 0.7, so regress the residual. Range
+        # covers the 3x3 supervised neighborhood (render_targets), so a
+        # local-max that lands one cell off the true center still decodes
+        # to the exact box center
         off = nn.Conv(2, (1, 1), name="offset")(x)
         return (jax.nn.sigmoid(heat[..., 0]).astype(jnp.float32),
                 jnp.maximum(size, 0.0).astype(jnp.float32),
-                jnp.clip(off, -0.5, 0.5).astype(jnp.float32))
+                jnp.clip(off, -2.0, 2.0).astype(jnp.float32))
 
 
 def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
@@ -84,10 +87,22 @@ def render_targets(boxes_list, hw, stride=STRIDE, sigma=None):
             heat[b] = np.maximum(heat[b], g)
             # the exact-center cell is the positive; keep it at 1
             heat[b, ci, cj] = 1.0
-            size[b, ci, cj] = ((x1 - x0) / stride, (y1 - y0) / stride)
-            # sub-cell residual from the cell CENTER (decode adds 0.5)
-            off[b, ci, cj] = (cx - (cj + 0.5), cy - (ci + 0.5))
-            mask[b, ci, cj] = 1.0
+            # supervise size + offset over the 3x3 neighborhood: the 3x3
+            # local-max decode can fire one cell off the true center, and
+            # an exact-center-only target would leave that cell's size and
+            # offset UNTRAINED (masked out of the loss) — the dominant
+            # residual IoU loss measured in round 4. Per-cell offsets point
+            # every neighbor back at the true box center.
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    ni, nj = ci + di, cj + dj
+                    if not (0 <= ni < h and 0 <= nj < w):
+                        continue
+                    if mask[b, ni, nj] and (di or dj):
+                        continue  # never overwrite another crown's center
+                    size[b, ni, nj] = ((x1 - x0) / stride, (y1 - y0) / stride)
+                    off[b, ni, nj] = (cx - (nj + 0.5), cy - (ni + 0.5))
+                    mask[b, ni, nj] = 1.0
     return heat, size, off, mask
 
 
@@ -102,11 +117,15 @@ def detector_loss(pred_heat, pred_size, heat, size, mask, alpha=2.0, beta=4.0,
     neg_loss = -(1 - pos) * ((1 - heat) ** beta) * (p**alpha) * jnp.log(1 - p)
     n_pos = jnp.maximum(jnp.sum(pos), 1.0)
     focal = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
-    l1 = jnp.sum(jnp.abs(pred_size - size) * mask[..., None]) / n_pos
+    # size/offset normalize by the supervised-cell count (the 3x3
+    # neighborhoods render_targets writes), keeping the regression weight
+    # independent of how many cells carry targets per crown
+    n_sup = jnp.maximum(jnp.sum(mask), 1.0)
+    l1 = jnp.sum(jnp.abs(pred_size - size) * mask[..., None]) / n_sup
     loss = focal + 0.1 * l1
     if pred_off is not None:
         loss = loss + jnp.sum(
-            jnp.abs(pred_off - off) * mask[..., None]) / n_pos
+            jnp.abs(pred_off - off) * mask[..., None]) / n_sup
     return loss
 
 

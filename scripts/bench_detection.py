@@ -87,7 +87,7 @@ def main():
     print("LearnedDetector (CenterNet, trained on forest scenes 10-13):")
     scenes, blists = crops(TRAIN_SEEDS)
     ldet = LearnedDetector(width=16, patch=96, threshold=0.25)
-    losses = ldet.fit(scenes, blists, steps=600, batch_size=8)
+    losses = ldet.fit(scenes, blists, steps=1500, batch_size=8)
     results["learned_detector"] = evaluate(ldet.predict_image, "LearnedDetector")
     results["learned_detector"]["train_loss_first_last"] = [losses[0], losses[-1]]
 
@@ -102,13 +102,26 @@ def main():
     print("LearnedDetector (trained on textured scenes 10-13):")
     scenes_t, blists_t = crops(TRAIN_SEEDS, scene_fn=make_textured_scene)
     ldet_t = LearnedDetector(width=16, patch=96, threshold=0.25)
-    ldet_t.fit(scenes_t, blists_t, steps=600, batch_size=8)
+    ldet_t.fit(scenes_t, blists_t, steps=1500, batch_size=8)
     results["learned_detector_textured_infamily"] = evaluate(
         ldet_t.predict_image, "LearnedDetector/textured->textured",
         scene_fn=make_textured_scene)
     print("LearnedDetector CROSS-DOMAIN (trained textured -> eval forest):")
     results["learned_detector_cross_domain_reverse"] = evaluate(
         ldet_t.predict_image, "LearnedDetector/textured->forest")
+
+    # mitigation: train on BOTH families (the production answer to the
+    # cross-domain drop measured above)
+    print("LearnedDetector (trained on forest+textured mix):")
+    scenes_m = np.concatenate([scenes, scenes_t])
+    blists_m = blists + blists_t
+    ldet_m = LearnedDetector(width=16, patch=96, threshold=0.25)
+    ldet_m.fit(scenes_m, blists_m, steps=1500, batch_size=8)
+    results["learned_detector_mixed_on_forest"] = evaluate(
+        ldet_m.predict_image, "LearnedDetector/mixed->forest")
+    results["learned_detector_mixed_on_textured"] = evaluate(
+        ldet_m.predict_image, "LearnedDetector/mixed->textured",
+        scene_fn=make_textured_scene)
 
     fwd = results["learned_detector"]["aggregate"]["f1"]
     xd = results["learned_detector_cross_domain"]["aggregate"]["f1"]

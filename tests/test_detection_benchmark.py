@@ -113,3 +113,50 @@ def test_learned_detector_prf_on_held_out_scene():
     assert m["precision"] >= 0.85, m
     assert m["recall"] >= 0.85, m
     assert m["f1"] >= 0.85, m
+
+
+def test_textured_scene_generator_properties():
+    """Out-of-family generator: same contract as make_forest_scene, visibly
+    different statistics (color variance across crowns, illumination ramp)."""
+    from deeptreeattention_tpu.data.synthetic import (
+        make_forest_scene, make_textured_scene)
+
+    img, boxes = make_textured_scene(n_crowns=60, size=256, seed=3)
+    assert img.shape == (256, 256, 3) and img.dtype == np.float32
+    assert len(boxes) >= 40
+    assert (boxes[:, 2] > boxes[:, 0]).all() and (boxes[:, 3] > boxes[:, 1]).all()
+    assert boxes.min() >= 0 and boxes.max() <= 256
+    # determinism
+    img2, boxes2 = make_textured_scene(n_crowns=60, size=256, seed=3)
+    np.testing.assert_array_equal(img, img2)
+    np.testing.assert_array_equal(boxes, boxes2)
+    # color varies across crowns here, not in the base family: compare the
+    # per-crown-center R/G ratio spread
+    f_img, f_boxes = make_forest_scene(n_crowns=60, size=256, seed=3)
+
+    def rg_spread(im, bs):
+        ratios = []
+        for (x0, y0, x1, y1) in bs[:40]:
+            cx, cy = int((x0 + x1) / 2), int((y0 + y1) / 2)
+            px = im[cy, cx]
+            if px[1] > 1:
+                ratios.append(px[0] / px[1])
+        return float(np.std(ratios))
+
+    assert rg_spread(img, boxes) > 3 * rg_spread(f_img, f_boxes)
+
+
+def test_forest_tile_generator():
+    """Windowed large-tile generator: uint8, georeferenceable scale, crowns
+    at the requested density, deterministic."""
+    from deeptreeattention_tpu.data.synthetic import make_forest_tile
+
+    rgb, boxes = make_forest_tile(size=1500, res=0.1, crowns_per_km2=60000,
+                                  seed=4)
+    assert rgb.shape == (1500, 1500, 3) and rgb.dtype == np.uint8
+    # 1500 px @ 0.1 m = 0.0225 km^2 -> ~1350 crowns
+    assert 900 <= len(boxes) <= 1400
+    assert (boxes[:, [0, 1]] >= 0).all() and (boxes[:, [2, 3]] <= 1500).all()
+    rgb2, boxes2 = make_forest_tile(size=1500, res=0.1, crowns_per_km2=60000,
+                                    seed=4)
+    np.testing.assert_array_equal(rgb, rgb2)

@@ -24,7 +24,7 @@ def synth_scene(rng, size=128, n=5):
 def test_render_targets_shapes():
     heat, size, off, mask = render_targets([np.array([[8, 8, 24, 24]])], (64, 64))
     assert heat.shape == (1, 16, 16)
-    assert mask.sum() == 1
+    assert mask.sum() == 9  # 3x3 supervised neighborhood
     ci, cj = np.unravel_index(np.argmax(heat[0]), heat[0].shape)
     assert (ci, cj) == (4, 4)
     np.testing.assert_allclose(size[0, ci, cj], [4, 4])
