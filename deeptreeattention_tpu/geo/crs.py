@@ -1,10 +1,13 @@
 """Coordinate reference systems: WGS84 UTM <-> geographic.
 
-Implements the transverse Mercator projection (Snyder 1987 series, WGS84
-ellipsoid; sub-mm accuracy within a UTM zone) so the pipeline can reproject
-without PROJ. The only reprojection the reference performs is UTM 18N -> 17N
-for BLAN plots (reference src/data.py:89-98); this supports any UTM<->UTM or
-UTM<->EPSG:4326 pair.
+Implements the transverse Mercator projection (Karney 2011 / Krüger n-series
+to order n^6, WGS84 ellipsoid — the same algorithm PROJ's etmerc uses;
+nanometer-class within a zone and sub-mm even several zones from the
+central meridian) so the pipeline can reproject without PROJ. The only
+reprojection the reference performs is UTM 18N -> 17N for BLAN plots
+(reference src/data.py:89-98); this supports any UTM<->UTM or
+UTM<->EPSG:4326 pair. (Round 3 shipped Snyder 1987 series, whose error
+grows to ~0.1 m on cross-zone round trips; replaced in round 4.)
 """
 import math
 
@@ -14,9 +17,36 @@ import numpy as np
 _A = 6378137.0
 _F = 1 / 298.257223563
 _E2 = _F * (2 - _F)
+_E = math.sqrt(_E2)
 _EP2 = _E2 / (1 - _E2)
 _K0 = 0.9996
 _FE = 500000.0  # false easting
+
+# Krüger series in the third flattening n, to n^6 (Karney 2011, eqs. 12/35)
+_N = _F / (2 - _F)
+_A1 = _A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64 + _N**6 / 256)
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
+    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440 + 281 * _N**5 / 630
+    - 1983433 * _N**6 / 1935360,
+    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
+    + 167603 * _N**6 / 181440,
+    49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
+    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+    212378941 * _N**6 / 319334400,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
+    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
+    - 1118711 * _N**6 / 3870720,
+    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
+    + 5569 * _N**6 / 90720,
+    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+    20648693 * _N**6 / 638668800,
+)
 
 
 def utm_zone_epsg(zone, north=True):
@@ -81,84 +111,67 @@ def _central_meridian(zone):
 
 
 def geographic_to_utm(lon, lat, zone, north=True):
-    """lon/lat degrees -> (easting, northing) in the given UTM zone."""
+    """lon/lat degrees -> (easting, northing) in the given UTM zone.
+
+    Karney 2011 forward: geodetic -> conformal latitude (exact), then the
+    order-n^6 Krüger series maps the conformal sphere onto the transverse
+    Mercator plane."""
     lon = np.asarray(lon, float)
     lat = np.asarray(lat, float)
-    lam = np.radians(lon)
     phi = np.radians(lat)
-    lam0 = _central_meridian(zone)
+    dlam = np.radians(lon) - _central_meridian(zone)
 
-    sin_phi = np.sin(phi)
-    cos_phi = np.cos(phi)
-    tan_phi = np.tan(phi)
-    N = _A / np.sqrt(1 - _E2 * sin_phi**2)
-    T = tan_phi**2
-    C = _EP2 * cos_phi**2
-    Aa = (lam - lam0) * cos_phi
+    sphi = np.sin(phi)
+    # tau' = tan(conformal latitude), computed stably via sinh/atanh
+    tau = np.tan(phi)
+    taup = np.sinh(np.arcsinh(tau) - _E * np.arctanh(_E * sphi))
 
-    # meridional arc
-    M = _A * (
-        (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256) * phi
-        - (3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024) * np.sin(2 * phi)
-        + (15 * _E2**2 / 256 + 45 * _E2**3 / 1024) * np.sin(4 * phi)
-        - (35 * _E2**3 / 3072) * np.sin(6 * phi)
-    )
+    xi = np.arctan2(taup, np.cos(dlam))
+    eta = np.arcsinh(np.sin(dlam) / np.hypot(taup, np.cos(dlam)))
+    xi_s, eta_s = xi, eta
+    for j, a in enumerate(_ALPHA, start=1):
+        xi_s = xi_s + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_s = eta_s + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
 
-    easting = _FE + _K0 * N * (
-        Aa + (1 - T + C) * Aa**3 / 6 + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * Aa**5 / 120
-    )
-    northing = _K0 * (
-        M
-        + N
-        * tan_phi
-        * (
-            Aa**2 / 2
-            + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
-            + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * Aa**6 / 720
-        )
-    )
+    easting = _FE + _K0 * _A1 * eta_s
+    northing = _K0 * _A1 * xi_s
     if not north:
         northing = northing + 10000000.0
     return easting, northing
 
 
+def _tau_from_taup(taup):
+    """Invert tau' (conformal) -> tau (geodetic) by Newton (Karney eq. 19-21);
+    converges to double precision in <=5 iterations for |lat| < 89.9."""
+    e2m = 1 - _E2
+    tau = taup / e2m  # first guess
+    for _ in range(5):
+        s = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
+        taupa = tau * np.hypot(1.0, s) - s * np.hypot(1.0, tau)
+        dtau = ((taup - taupa) * (1 + e2m * tau**2)
+                / (e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa)))
+        tau = tau + dtau
+    return tau
+
+
 def utm_to_geographic(easting, northing, zone, north=True):
-    """(easting, northing) in a UTM zone -> lon/lat degrees."""
+    """(easting, northing) in a UTM zone -> lon/lat degrees (Karney inverse)."""
     easting = np.asarray(easting, float)
     northing = np.asarray(northing, float)
-    x = easting - _FE
     y = northing if north else northing - 10000000.0
-    lam0 = _central_meridian(zone)
+    xi = y / (_K0 * _A1)
+    eta = (easting - _FE) / (_K0 * _A1)
 
-    M = y / _K0
-    mu = M / (_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
-    e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
-    phi1 = (
-        mu
-        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
-        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
-        + (151 * e1**3 / 96) * np.sin(6 * mu)
-        + (1097 * e1**4 / 512) * np.sin(8 * mu)
-    )
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
 
-    sin1 = np.sin(phi1)
-    cos1 = np.cos(phi1)
-    tan1 = np.tan(phi1)
-    C1 = _EP2 * cos1**2
-    T1 = tan1**2
-    N1 = _A / np.sqrt(1 - _E2 * sin1**2)
-    R1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
-    D = x / (N1 * _K0)
-
-    phi = phi1 - (N1 * tan1 / R1) * (
-        D**2 / 2
-        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
-        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2) * D**6 / 720
-    )
-    lam = lam0 + (
-        D - (1 + 2 * T1 + C1) * D**3 / 6 + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2) * D**5 / 120
-    ) / cos1
-    return np.degrees(lam), np.degrees(phi)
+    taup = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    tau = _tau_from_taup(taup)
+    phi = np.arctan(tau)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam + _central_meridian(zone)), np.degrees(phi)
 
 
 def transform_xy(x, y, src_epsg, dst_epsg):

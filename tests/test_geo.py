@@ -330,3 +330,20 @@ def test_shapefile_deleted_dbf_record_alignment(tmp_path):
     back = vector.read_file(path)
     assert list(back.individual) == ["a", "c"]
     assert back.geometry[0].bounds[0] == 0 and back.geometry[1].bounds[0] == 20
+
+
+def test_karney_cross_zone_roundtrip_submm():
+    """UTM->UTM reprojection across zones round-trips sub-mm (Karney n^6
+    series; the round-3 Snyder series erred ~0.1 m two zones out)."""
+    x0, y0 = 405002.0, 3285982.0
+    lon, lat = crs.utm_to_geographic(x0, y0, 17)
+    for other in (18, 19):
+        xo, yo = crs.geographic_to_utm(lon, lat, other)
+        lon2, lat2 = crs.utm_to_geographic(xo, yo, other)
+        x1, y1 = crs.geographic_to_utm(lon2, lat2, 17)
+        assert abs(float(x1) - x0) < 1e-3 and abs(float(y1) - y0) < 1e-3
+    # southern-hemisphere round trip
+    e, n = crs.geographic_to_utm(174.76333, -36.84833, 60, north=False)
+    lon, lat = crs.utm_to_geographic(e, n, 60, north=False)
+    assert abs(float(lon) - 174.76333) < 1e-9
+    assert abs(float(lat) + 36.84833) < 1e-9
