@@ -357,10 +357,59 @@ class RetinaNetDetector:
             "label": self.label,
         })
 
-    def predict_tile(self, path, patch_size=400, overlap=0):
-        """Windowed tile sweep (reference src/generate.py predicts 400 m
-        DeepForest-native patches); reuses the base protocol semantics."""
-        from deeptreeattention_tpu.data.detection import Detector
+    def predict_tile(self, path, patch_size=400, overlap=0, batch=8):
+        """Windowed tile sweep with the patch grid BATCHED through the jit
+        forward+decode program (the base protocol loops patches one at a
+        time; DeepForest also sweeps 400-px windows serially,
+        reference src/generate.py:17-42 via predict_image)."""
+        import pandas as pd
 
-        return Detector.predict_tile(self, path, patch_size=patch_size,
-                                     overlap=overlap)
+        from deeptreeattention_tpu.geo import raster
+
+        with raster.open_raster(path) as src:
+            img = np.moveaxis(src.read(), 0, -1)
+        if img.shape[-1] > 3:
+            img = img[..., :3]
+        h, w = img.shape[:2]
+        step = patch_size - overlap
+        origins = [(r0, c0) for r0 in range(0, h, step)
+                   for c0 in range(0, w, step)]
+        pad = int(np.ceil(patch_size / 32)) * 32
+        run = self._program((pad, pad))
+
+        if img.dtype == np.uint8:
+            imgf = img.astype(np.float32) / 255.0
+        else:
+            imgf = img.astype(np.float32)
+        imgf = (imgf - _MEAN) / _STD
+
+        frames = []
+        for s in range(0, len(origins), batch):
+            group = origins[s:s + batch]
+            stack = np.zeros((batch, pad, pad, 3), np.float32)
+            for g, (r0, c0) in enumerate(group):
+                chunk = imgf[r0:r0 + patch_size, c0:c0 + patch_size]
+                stack[g, :chunk.shape[0], :chunk.shape[1]] = chunk
+            boxes_b, scores_b, _, valid_b = run(
+                self.variables["params"],
+                self.variables.get("batch_stats", {}), jnp.asarray(stack))
+            boxes_b = np.asarray(boxes_b)
+            scores_b = np.asarray(scores_b)
+            valid_b = np.asarray(valid_b)
+            for g, (r0, c0) in enumerate(group):
+                v = valid_b[g]
+                if not v.any():
+                    continue
+                bx = boxes_b[g][v]
+                frames.append(pd.DataFrame({
+                    "xmin": bx[:, 0] + c0, "ymin": bx[:, 1] + r0,
+                    "xmax": bx[:, 2] + c0, "ymax": bx[:, 3] + r0,
+                    "score": scores_b[g][v], "label": self.label,
+                }))
+        if not frames:
+            return None
+        out = pd.concat(frames, ignore_index=True)
+        for col, hi in (("xmin", w), ("xmax", w), ("ymin", h), ("ymax", h)):
+            out[col] = out[col].clip(lower=0, upper=hi)
+        out["image_path"] = path
+        return out

@@ -159,3 +159,25 @@ def test_imported_weights_run_forward():
     img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
     out = det.predict_image(img)
     assert out is None or len(out) <= 20
+
+
+def test_predict_tile_batched_matches_patch_grid(tmp_path):
+    """The batched tile sweep covers the patch grid and stays in-bounds."""
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import Affine
+
+    rng = np.random.RandomState(2)
+    img = (rng.rand(3, 200, 180) * 255).astype(np.uint8)
+    path = str(tmp_path / "2021_OSBS_5_405000_3286000_image.tif")
+    raster.write_raster(path, img, crs=32617,
+                        transform=Affine(0.1, 0, 405000, 0, -0.1, 3286000))
+
+    det = retinanet.RetinaNetDetector(score_thresh=0.0, max_detections=10)
+    out = det.predict_tile(path, patch_size=96, overlap=0, batch=4)
+    if out is None:
+        pytest.skip("random weights produced no boxes")
+    assert (out.xmin >= 0).all() and (out.xmax <= 180).all()
+    assert (out.ymin >= 0).all() and (out.ymax <= 200).all()
+    assert (out.image_path == path).all()
+    # boxes appear beyond the first patch (grid actually swept)
+    assert out[["xmin", "ymin"]].max().max() > 96 or len(out) >= 10
