@@ -227,6 +227,7 @@ class AliveDead:
         dtype = (
             jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else jnp.float32
         )
+        self._compute_dtype = dtype
         self.model = ResNet(num_classes=2, depth=depth, dtype=dtype)
         key = jax.random.PRNGKey(seed)
         self.variables = dict(
@@ -534,6 +535,7 @@ class AliveDead:
         from deeptreeattention_tpu.geo.affine import window_from_bounds
 
         batch_size = batch_size or self.config["dead"]["batch_size"]
+        mode = self._resolve_mode(use_batch_stats)
         crowns = crowns.reset_index(drop=True)
         paths = crowns["RGB_tile"]
         if paths.isna().any():
@@ -576,26 +578,79 @@ class AliveDead:
                 rect_chunk = np.concatenate([rect_chunk, pad])
             return _dead_windows(tiles.get(path), rect_chunk, slab)[:k]
 
+        fused = self._fused_window_score(mode, slab)
+
         # batches follow crown order exactly (matching predict_dataset's
         # partitioning, so batch-BN statistics agree even across tiles)
         for s in range(0, n, batch_size):
             e = min(s + batch_size, n)
+            k = e - s
             batch_paths = paths.iloc[s:e].values
             uniq = list(dict.fromkeys(batch_paths))
             if len(uniq) == 1:
-                x = gather(uniq[0], rects[s:e])
-            else:
-                parts, order = [], []
-                for path in uniq:
-                    sel = np.where(batch_paths == path)[0]
-                    parts.append(gather(path, rects[s + sel]))
-                    order.append(sel)
-                inv = np.argsort(np.concatenate(order))
-                x = jnp.concatenate(parts)[jnp.asarray(inv)]
+                # the common case: ONE jit program per batch — gather +
+                # normalize + forward fused (round-4: the split
+                # _dead_windows -> predict_batch pair cost a second
+                # dispatch RTT per batch and blocked normalize-into-conv1
+                # fusion; the composed-estimate gap in VERDICT Weak #4)
+                rect_chunk = rects[s:e]
+                if k < batch_size:
+                    pad = np.repeat(rect_chunk[:1], batch_size - k, axis=0)
+                    rect_chunk = np.concatenate([rect_chunk, pad])
+                out = fused(self.variables["params"],
+                            self.variables.get("batch_stats", {}),
+                            tiles.get(uniq[0]), jnp.asarray(rect_chunk))
+                probs[s:e] = np.asarray(out)[:k]
+                continue
+            # tile-boundary batch (rare): per-path gathers, then the
+            # standalone forward — batch-BN statistics still see the full
+            # crown-order batch
+            parts, order = [], []
+            for path in uniq:
+                sel = np.where(batch_paths == path)[0]
+                parts.append(gather(path, rects[s + sel]))
+                order.append(sel)
+            inv = np.argsort(np.concatenate(order))
+            x = jnp.concatenate(parts)[jnp.asarray(inv)]
             probs[s:e] = np.asarray(
                 self.predict_batch(x, use_batch_stats=use_batch_stats)
             )
         return probs
+
+    def _fused_window_score(self, mode, slab):
+        """One jit program: crown-window gather + ImageNet normalize +
+        forward (+ predict_batch's softmax-of-log calibration), per
+        (bn-mode, slab) shape class. Composes the same primitives as
+        `_dead_windows` + `predict_batch`, so results are bit-identical."""
+        if not hasattr(self, "_fused_score_cache"):
+            self._fused_score_cache = {}
+        key = (mode, slab)
+        if key not in self._fused_score_cache:
+            model = self.model
+            depth = self.depth
+            dtype = self._compute_dtype
+
+            @jax.jit
+            def run(params, batch_stats, tile, rect):
+                x = _dead_windows(tile, rect, slab)
+                variables = {"params": params, "batch_stats": batch_stats}
+                if mode == "batch":
+                    logits, _ = model.apply(variables, x, train=True,
+                                            mutable=["batch_stats"])
+                    p = jax.nn.sigmoid(logits)
+                elif mode == "eval":
+                    p = jax.nn.sigmoid(model.apply(variables, x, train=False))
+                    p = jax.nn.softmax(p, axis=-1)
+                else:  # eval_folded
+                    from deeptreeattention_tpu.models import fused as fused_mod
+
+                    logits = fused_mod.resnet_eval(variables, x, depth=depth,
+                                                   dtype=dtype)
+                    p = jax.nn.softmax(jax.nn.sigmoid(logits), axis=-1)
+                return jax.nn.softmax(jnp.log(jnp.clip(p, 1e-8, 1.0)), axis=-1)
+
+            self._fused_score_cache[key] = run
+        return self._fused_score_cache[key]
 
     def _resolve_mode(self, use_batch_stats):
         """use_batch_stats=True/False pins the reference quirk / plain eval
