@@ -116,8 +116,23 @@ def folder_to_arrays(root, size=224, classes=CLASSES, cache_dir=None):
     folder path bit-exactly. With cache_dir set, the decoded arrays are
     memoized as one .npz (a 1-core host re-decoding 5.7k PNGs per run is the
     bottleneck, not the TPU)."""
+    listing = [
+        (cls, path, os.path.getsize(path))
+        for cls in classes
+        for path in sorted(glob.glob(os.path.join(root, cls, "*")))
+    ]
     if cache_dir:
-        tag = "{}_{}".format(os.path.basename(os.path.normpath(root)), size)
+        import hashlib
+
+        # key the cache on WHAT will be decoded — absolute root, classes,
+        # and the (name, size) file listing — not just basename(root):
+        # two dataset versions sharing a cache_dir must never alias
+        fp = hashlib.sha1(repr(
+            (os.path.abspath(root), tuple(classes),
+             [(os.path.relpath(p, root), s) for _, p, s in listing])
+        ).encode()).hexdigest()[:12]
+        tag = "{}_{}_{}".format(
+            os.path.basename(os.path.normpath(root)), size, fp)
         cpath = os.path.join(cache_dir, "folder_{}.npz".format(tag))
         if os.path.exists(cpath):
             z = np.load(cpath, allow_pickle=False)
@@ -126,7 +141,7 @@ def folder_to_arrays(root, size=224, classes=CLASSES, cache_dir=None):
 
     xs, ys = [], []
     for label, cls in enumerate(classes):
-        for path in sorted(glob.glob(os.path.join(root, cls, "*"))):
+        for path in (p for c, p, _ in listing if c == cls):
             img = np.asarray(Image.open(path).convert("RGB"))
             h, w = img.shape[0], img.shape[1]
             r = (np.arange(size) * h) // size
@@ -587,7 +602,13 @@ class AliveDead:
             k = e - s
             batch_paths = paths.iloc[s:e].values
             uniq = list(dict.fromkeys(batch_paths))
-            if len(uniq) == 1:
+            # The fused program runs the forward over the full padded batch,
+            # so in 'batch' BN mode padding duplicates would leak into the
+            # batch statistics — a partial final batch must keep the
+            # truncate-before-forward path for bit-parity with
+            # predict_dataset. Eval modes have input-independent statistics;
+            # padding is then harmless.
+            if len(uniq) == 1 and (k == batch_size or mode != "batch"):
                 # the common case: ONE jit program per batch — gather +
                 # normalize + forward fused (round-4: the split
                 # _dead_windows -> predict_batch pair cost a second

@@ -225,7 +225,14 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
         sizes.append(lh * lw * NUM_ANCHORS)
     anchors_all = jnp.asarray(np.concatenate(anchors_np))
 
-    def decode_one(logits_list, regs_list):
+    def decode_one(logits_list, regs_list, hw=None):
+        # hw: optional traced [2] float (true h, w). torchvision's
+        # postprocess_detections clips to the TRUE image size BEFORE NMS
+        # (the padded size only shapes the anchor grid); boxes fired
+        # entirely inside the padded band clip to zero area and are
+        # score-zeroed so they can never out-survive a real box.
+        true_h = H if hw is None else hw[0]
+        true_w = W if hw is None else hw[1]
         cand_boxes, cand_scores, cand_labels = [], [], []
         offset = 0
         for li, (logit, reg) in enumerate(zip(logits_list, regs_list)):
@@ -239,8 +246,10 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
             anch = anchors_all[offset:offset + sizes[li]][top_idx]
             boxes = decode_boxes(deltas, anch)
             boxes = jnp.stack([
-                jnp.clip(boxes[:, 0], 0, W), jnp.clip(boxes[:, 1], 0, H),
-                jnp.clip(boxes[:, 2], 0, W), jnp.clip(boxes[:, 3], 0, H),
+                jnp.clip(boxes[:, 0], 0, true_w),
+                jnp.clip(boxes[:, 1], 0, true_h),
+                jnp.clip(boxes[:, 2], 0, true_w),
+                jnp.clip(boxes[:, 3], 0, true_h),
             ], axis=1)
             cand_boxes.append(boxes)
             cand_scores.append(top_scores)
@@ -250,6 +259,9 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
         scores = jnp.concatenate(cand_scores)
         labels = jnp.concatenate(cand_labels)
         scores = jnp.where(scores >= score_thresh, scores, 0.0)
+        degenerate = ((boxes[:, 2] - boxes[:, 0]) <= 0) | (
+            (boxes[:, 3] - boxes[:, 1]) <= 0)
+        scores = jnp.where(degenerate, 0.0, scores)
         keep = nms_mask(boxes, scores, nms_thresh) & (scores > 0)
         final_scores = jnp.where(keep, scores, 0.0)
         take = min(max_detections, int(final_scores.shape[0]))
@@ -311,11 +323,14 @@ class RetinaNetDetector:
             model = self.model
 
             @jax.jit
-            def run(params, batch_stats, x):
+            def run(params, batch_stats, x, hw):
+                # hw [B, 2]: per-image TRUE (h, w) — decode clips to it
+                # before NMS (torchvision postprocess_detections order)
                 logits, regs = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x,
                     train=False)
-                outs = [decoder([l[i] for l in logits], [r[i] for r in regs])
+                outs = [decoder([l[i] for l in logits], [r[i] for r in regs],
+                                hw[i])
                         for i in range(x.shape[0])]
                 return jax.tree_util.tree_map(
                     lambda *a: jnp.stack(a), *outs)
@@ -324,10 +339,10 @@ class RetinaNetDetector:
         return self._programs[hw]
 
     def _preprocess(self, image):
-        img = np.asarray(image)
-        if img.dtype == np.uint8:
-            img = img.astype(np.float32) / 255.0
-        img = (img.astype(np.float32) - _MEAN) / _STD
+        # repo Detector protocol (and DeepForest's predict surface): pixel
+        # values are 0..255 whether uint8 or float — always rescale
+        img = np.asarray(image).astype(np.float32) / 255.0
+        img = (img - _MEAN) / _STD
         h, w = img.shape[:2]
         ph = int(np.ceil(h / 32)) * 32
         pw = int(np.ceil(w / 32)) * 32
@@ -340,19 +355,20 @@ class RetinaNetDetector:
 
         img, hw = self._preprocess(image)
         run = self._program(hw)
+        h, w = np.asarray(image).shape[:2]
         boxes, scores, labels, valid = run(
             self.variables["params"],
-            self.variables.get("batch_stats", {}), img[None])
+            self.variables.get("batch_stats", {}), img[None],
+            jnp.asarray([[h, w]], jnp.float32))
         v = np.asarray(valid[0])
         boxes = np.asarray(boxes[0])[v]
         if boxes.size == 0:
             return None
-        h, w = np.asarray(image).shape[:2]
         return pd.DataFrame({
-            "xmin": np.clip(boxes[:, 0], 0, w),
-            "ymin": np.clip(boxes[:, 1], 0, h),
-            "xmax": np.clip(boxes[:, 2], 0, w),
-            "ymax": np.clip(boxes[:, 3], 0, h),
+            "xmin": boxes[:, 0],
+            "ymin": boxes[:, 1],
+            "xmax": boxes[:, 2],
+            "ymax": boxes[:, 3],
             "score": np.asarray(scores[0])[v],
             "label": self.label,
         })
@@ -377,26 +393,31 @@ class RetinaNetDetector:
         pad = int(np.ceil(patch_size / 32)) * 32
         run = self._program((pad, pad))
 
-        if img.dtype == np.uint8:
-            imgf = img.astype(np.float32) / 255.0
-        else:
-            imgf = img.astype(np.float32)
-        imgf = (imgf - _MEAN) / _STD
-
         frames = []
         for s in range(0, len(origins), batch):
             group = origins[s:s + batch]
             stack = np.zeros((batch, pad, pad, 3), np.float32)
+            extents = np.full((batch, 2), float(patch_size), np.float32)
             for g, (r0, c0) in enumerate(group):
-                chunk = imgf[r0:r0 + patch_size, c0:c0 + patch_size]
-                stack[g, :chunk.shape[0], :chunk.shape[1]] = chunk
+                # normalize per 400-px chunk, not the whole tile: a 10000^2
+                # uint8 tile stays uint8 (300 MB) instead of spawning GB-scale
+                # float32 temporaries on the 1-core bench host
+                chunk = img[r0:r0 + patch_size, c0:c0 + patch_size]
+                ch, cw = chunk.shape[0], chunk.shape[1]
+                stack[g, :ch, :cw] = (
+                    chunk.astype(np.float32) / 255.0 - _MEAN) / _STD
+                extents[g] = (ch, cw)
             boxes_b, scores_b, _, valid_b = run(
                 self.variables["params"],
-                self.variables.get("batch_stats", {}), jnp.asarray(stack))
+                self.variables.get("batch_stats", {}), jnp.asarray(stack),
+                jnp.asarray(extents))
             boxes_b = np.asarray(boxes_b)
             scores_b = np.asarray(scores_b)
             valid_b = np.asarray(valid_b)
             for g, (r0, c0) in enumerate(group):
+                # decode already clipped to the true chunk extent before NMS
+                # and zero-scored degenerate (padding-band) boxes; `valid`
+                # therefore only contains boxes inside the real tile area
                 v = valid_b[g]
                 if not v.any():
                     continue
@@ -409,7 +430,5 @@ class RetinaNetDetector:
         if not frames:
             return None
         out = pd.concat(frames, ignore_index=True)
-        for col, hi in (("xmin", w), ("xmax", w), ("ymin", h), ("ymax", h)):
-            out[col] = out[col].clip(lower=0, upper=hi)
         out["image_path"] = path
         return out

@@ -466,6 +466,19 @@ def import_retinanet(state_or_path, num_classes=1, depth=50):
         }
 
     # -- heads ---------------------------------------------------------------
+    # retinanet_resnet50_fpn_v2-style towers are Conv2dNormActivation WITH a
+    # GroupNorm ('conv.{i}.1.weight'); our flax head is the v1 conv->relu
+    # layout with no norm slot, so importing those weights and silently
+    # dropping the GN scale/bias would produce garbage predictions. Fail loud.
+    norm_keys = [k for k in state
+                 if k.startswith("head.") and ".conv." in k
+                 and k.split(".conv.")[1].split(".")[1:2] == ["1"]]
+    if norm_keys:
+        raise ValueError(
+            "retinanet import: state_dict has normalization tensors inside "
+            "the head towers (e.g. {!r}) — a v2-style GroupNorm head, which "
+            "this v1 conv/relu architecture cannot represent".format(
+                norm_keys[0]))
     head_p = {}
     for tower, flax_prefix in (("classification_head", "cls_conv"),
                                ("regression_head", "reg_conv")):

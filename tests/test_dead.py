@@ -65,6 +65,23 @@ def test_ondevice_dead_matches_utm_dataset(model, config, fixtures_dir):
     np.testing.assert_allclose(device2, host2, atol=1e-6)
 
 
+def test_ondevice_dead_partial_batch_bn_parity(model, config, fixtures_dir):
+    """A HETEROGENEOUS partial final batch (1 < k < batch_size) must match
+    predict_dataset bit-for-bit in batch-BN mode: the fused program pads the
+    batch with duplicates, and those must never leak into batch statistics
+    (round-4 review finding — k=1 partials are BN-neutral and hid this)."""
+    import glob
+
+    crowns = vector.read_file(os.path.join(fixtures_dir, "artifact", "crowns.shp"))
+    crowns = crowns.head(6)
+    crowns["RGB_tile"] = sorted(glob.glob(os.path.join(fixtures_dir, "rgb", "*.tif")))[0]
+
+    ds = dead.UTMDataset(crowns=crowns, config=config)
+    host = model.predict_dataset(ds, batch_size=4)  # batches: 4 + 2
+    device = model.predict_crowns_ondevice(crowns, batch_size=4)
+    np.testing.assert_allclose(device, host, atol=1e-6)
+
+
 def test_ondevice_dead_multi_tile_and_validation(model, config, fixtures_dir, tmp_path):
     """Crown-order batching keeps batch-BN parity even when a batch spans
     two tiles; crowns without an RGB_tile are rejected loudly."""

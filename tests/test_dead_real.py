@@ -20,6 +20,29 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_TRAIN), reason="reference checkout not available")
 
 
+def test_folder_to_arrays_cache_keys_on_content(tmp_path):
+    """Two dataset roots with the SAME basename sharing one cache_dir must
+    not alias (round-4 review finding: basename-only keys returned stale
+    arrays for a different dataset version)."""
+    from PIL import Image
+
+    from deeptreeattention_tpu.models.dead import folder_to_arrays
+
+    cache = str(tmp_path / "cache")
+    for version, value in (("v1", 10), ("v2", 200)):
+        root = tmp_path / version / "dead_train"
+        for cls in ("Alive", "Dead"):
+            (root / cls).mkdir(parents=True)
+            Image.fromarray(
+                np.full((8, 8, 3), value, np.uint8)).save(
+                    str(root / cls / "a.png"))
+    x1, _ = folder_to_arrays(str(tmp_path / "v1" / "dead_train"),
+                             size=8, cache_dir=cache)
+    x2, _ = folder_to_arrays(str(tmp_path / "v2" / "dead_train"),
+                             size=8, cache_dir=cache)
+    assert int(x1[0, 0, 0, 0]) == 10 and int(x2[0, 0, 0, 0]) == 200
+
+
 def test_real_dead_subsample_learns(tmp_path):
     from deeptreeattention_tpu.models.dead import (
         AliveDead, _classification_metrics, folder_to_arrays)

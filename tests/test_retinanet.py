@@ -135,6 +135,60 @@ def test_level_anchors_basic():
     np.testing.assert_allclose(a[9] - a[0], [8, 0, 8, 0], atol=1e-5)
 
 
+def test_decoder_clips_to_true_size_before_nms():
+    """torchvision postprocess_detections clips to the TRUE image size
+    before NMS; a confident box living entirely in the padded band must
+    clip to zero area and never reach the output (round-4 review finding)."""
+    H = W = 64
+    decoder = retinanet.build_decoder((H, W), score_thresh=0.05,
+                                      max_detections=10)
+    sizes = [int(np.ceil(H / s)) * int(np.ceil(W / s)) * retinanet.NUM_ANCHORS
+             for s in retinanet.STRIDES]
+    logits = [np.full((int(np.ceil(H / s)), int(np.ceil(W / s)),
+                       retinanet.NUM_ANCHORS), -20.0, np.float32)
+              for s in retinanet.STRIDES]
+    regs = [np.zeros((int(np.ceil(H / s)), int(np.ceil(W / s)),
+                      retinanet.NUM_ANCHORS * 4), np.float32)
+            for s in retinanet.STRIDES]
+    # P3 grid is 8x8 (stride 8). True extent (40, 40): cell (7, 7) sits at
+    # x=y=56 — its anchors live past 40 entirely. Cell (1, 1) is real.
+    logits[0][7, 7, :] = 8.0   # pad-band box
+    logits[0][1, 1, 4] = 8.0   # real box (ratio-1.0 anchor)
+    logits = [jnp.asarray(l.reshape(l.shape[0], l.shape[1], -1))
+              for l in logits]
+    regs = [jnp.asarray(r) for r in regs]
+
+    boxes, scores, labels, valid = decoder(logits, regs,
+                                           jnp.asarray([40.0, 40.0]))
+    boxes = np.asarray(boxes)[np.asarray(valid)]
+    assert len(boxes) >= 1
+    assert (boxes[:, 2] <= 40).all() and (boxes[:, 3] <= 40).all()
+    # every surviving box has positive area (no pad-band slivers)
+    assert ((boxes[:, 2] - boxes[:, 0]) > 0).all()
+    assert ((boxes[:, 3] - boxes[:, 1]) > 0).all()
+    del sizes
+
+
+def test_import_retinanet_rejects_v2_groupnorm_head():
+    """A retinanet_resnet50_fpn_v2-style head (Conv2dNormActivation with
+    GroupNorm) must fail loudly, not import with the norm silently dropped."""
+    state = synth_retinanet_state(conv_norm_activation=True)
+    state["head.classification_head.conv.0.1.weight"] = np.ones(256, np.float32)
+    state["head.classification_head.conv.0.1.bias"] = np.zeros(256, np.float32)
+    with pytest.raises(ValueError, match="GroupNorm"):
+        torch_import.import_retinanet(state)
+
+
+def test_preprocess_float_and_uint8_agree():
+    """Detector protocol: pixel values are 0..255 whether uint8 or float."""
+    det = retinanet.RetinaNetDetector.__new__(retinanet.RetinaNetDetector)
+    img8 = (np.random.RandomState(0).rand(33, 41, 3) * 255).astype(np.uint8)
+    a, hwa = det._preprocess(img8)
+    b, hwb = det._preprocess(img8.astype(np.float32))
+    assert hwa == hwb == (64, 64)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_detector_adapter_end_to_end():
     """predict_image on a random-weight model: pads to /32, runs one jit
     program, returns the reference box-frame schema with in-bounds boxes."""
