@@ -89,5 +89,29 @@ def main():
     )
 
 
+def _wait_for_backend(attempts=3, sleep_s=120):
+    """Probe the device in a SUBPROCESS (jax caches backend-init failures
+    in-process, so retrying main() after a failure is useless). The axon
+    relay occasionally flaps (observed: multi-hour UNAVAILABLE window,
+    round 4); a bounded wait keeps a transient outage from costing the
+    round's measured number. Persistent outage still fails in main()."""
+    import subprocess
+    import sys
+
+    probe = "import jax; x = jax.numpy.ones((8, 8)); print(float((x @ x).sum()))"
+    for attempt in range(attempts):
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=300, capture_output=True)
+            return
+        except Exception:
+            if attempt == attempts - 1:
+                return  # let main() surface the real error
+            print("warning: device probe failed (attempt {}); retrying in "
+                  "{}s".format(attempt + 1, sleep_s), file=sys.stderr)
+            time.sleep(sleep_s)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
