@@ -282,7 +282,19 @@ class AliveDead:
         self._train_step = steps.make_train_step(
             apply_sigmoid, self.optimizer, donate=True,
             remat=config.get("remat", False))
-        self._eval_step = steps.make_eval_step(apply_sigmoid)
+
+        # every BN mode's step returns the RAW sigmoid pair; predict_batch
+        # applies ONE final normalize (calibrated convention) so dead scores
+        # have the same range in all three modes. Routing "eval" through
+        # make_eval_step used to softmax the sigmoids first, capping eval/
+        # eval_folded scores at e/(e+1) ~ 0.7311 — enabling the fast folded
+        # path then silently disabled the dead_threshold gate (docs/PARITY.md)
+        @jax.jit
+        def eval_sigmoid(params, batch_stats, x):
+            return apply_sigmoid(
+                {"params": params, "batch_stats": batch_stats}, x, train=False)
+
+        self._eval_step = eval_sigmoid
         self._array_steps = None
 
         # prediction-time quirk preserved from the reference
@@ -317,9 +329,8 @@ class AliveDead:
                 {"params": params, "batch_stats": batch_stats}, x,
                 depth=d, dtype=dtype,
             )
-            # same output contract as _eval_step (make_eval_step wraps the
-            # sigmoid forward in a softmax)
-            return jax.nn.softmax(jax.nn.sigmoid(logits), axis=-1)
+            # same output contract as _eval_step: raw sigmoid pair
+            return jax.nn.sigmoid(logits)
 
         self._eval_step_folded = eval_folded
 
@@ -712,16 +723,16 @@ class AliveDead:
                 if mode == "batch":
                     logits, _ = model.apply(variables, x, train=True,
                                             mutable=["batch_stats"])
-                    p = jax.nn.sigmoid(logits)
                 elif mode == "eval":
-                    p = jax.nn.sigmoid(model.apply(variables, x, train=False))
-                    p = jax.nn.softmax(p, axis=-1)
+                    logits = model.apply(variables, x, train=False)
                 else:  # eval_folded
                     from deeptreeattention_tpu.models import fused as fused_mod
 
                     logits = fused_mod.resnet_eval(variables, x, depth=depth,
                                                    dtype=dtype)
-                    p = jax.nn.softmax(jax.nn.sigmoid(logits), axis=-1)
+                # raw sigmoid pair -> ONE normalize = the calibrated
+                # convention, identical across all three BN modes
+                p = jax.nn.sigmoid(logits)
                 return jax.nn.softmax(jnp.log(jnp.clip(p, 1e-8, 1.0)), axis=-1)
 
             self._fused_score_cache[key] = run
