@@ -1,0 +1,159 @@
+"""Train + evaluate MultiStage on the reference's REAL committed artifact.
+
+The reference's own suite fixture (reference tests/conftest.py:92-97,
+use_data_commit="110ac77ae89043898f618466359c2a2e") is real OSBS data:
+multi-year 369-band HSI crops, 53 train / 53 test rows, 15 species,
+3,077 crowns. Every species-model accuracy in this repo so far comes from
+generated fixtures; this script trains the full 5-level hierarchy on the
+real artifact (reference pipeline: train.py:75-120) and publishes
+real-data species accuracy — micro/macro over the ensemble decision tree,
+per-level, per-species — across several seeds:
+
+  python scripts/train_species_real.py            # full -> BENCH_SPECIES_REAL.json
+  python scripts/train_species_real.py --fast     # 1 seed, 2 epochs
+
+Caveats stated in the artifact: 53 training rows (3-4 per species) from
+scratch — the reference's production numbers come from ~10k rows + 20
+model replicates; this measures the pipeline on its real data, not the
+paper's headline accuracy.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ARTIFACT = "/root/reference/tests/data/110ac77ae89043898f618466359c2a2e"
+
+
+def run_seed(config, dm, seed, epochs):
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    t0 = time.time()
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                   config=config, seed=seed)
+    history = m.fit(epochs=epochs)
+    t_train = time.time() - t0
+
+    results = m.gather_predictions(m.predict(dm.test))
+    ensemble_df = m.ensemble(results)
+    merged = ensemble_df.merge(dm.test.groupby("individual").head(1),
+                               on="individual")
+    merged = merged.groupby("individual", sort=False).head(1)
+
+    true_taxa = merged.taxonID.values
+    pred_taxa = merged.ensembleTaxonID.values
+    micro = float(np.mean(pred_taxa == true_taxa))
+    per_species = {}
+    for sp in sorted(set(true_taxa)):
+        sel = true_taxa == sp
+        per_species[sp] = float(np.mean(pred_taxa[sel] == sp))
+    macro = float(np.mean(list(per_species.values())))
+
+    # per-level top-1 accuracy on each level's own test frame (the level
+    # frames carry the level-local true taxon, e.g. CONIFER/BROADLEAF at L1)
+    level_acc = {}
+    for lvl, frame in enumerate(m.test_frames):
+        if not len(frame):
+            continue
+        col_pred = "pred_taxa_top1_level_{}".format(lvl)
+        truth = frame.groupby("individual", sort=False).head(1)[
+            ["individual", "taxonID"]].rename(columns={"taxonID": "level_taxon"})
+        lm = merged[["individual", col_pred]].merge(truth, on="individual")
+        if len(lm):
+            level_acc["level_{}".format(lvl)] = float(
+                np.mean(lm[col_pred].values == lm.level_taxon.values))
+    return {
+        "seed": seed,
+        "micro_accuracy": round(micro, 4),
+        "macro_accuracy": round(macro, 4),
+        "per_species_accuracy": {k: round(v, 4)
+                                 for k, v in per_species.items()},
+        "per_level_accuracy": {k: round(v, 4) for k, v in level_acc.items()},
+        "final_train_loss": [round(float(x), 4)
+                             for x in history[-1]["train_loss"]]
+        if history else None,
+        "train_s": round(t_train, 1),
+        "n_test_individuals": int(len(merged)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", default=ARTIFACT)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "BENCH_SPECIES_REAL.json"))
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+
+    from deeptreeattention_tpu.data.datamodule import TreeData
+    from deeptreeattention_tpu.utils.config import read_config
+
+    cfg = read_config(os.path.join(REPO, "config.yml"))
+    cfg["use_data_commit"] = args.artifact
+    cfg["crop_dir"] = args.artifact
+    cfg["data_dir"] = "/tmp/species_real_out"
+    os.makedirs(cfg["data_dir"], exist_ok=True)
+    cfg["workers"] = 0
+    cfg["preload_images"] = True  # 53 rows — hold everything in RAM
+    cfg["batch_size"] = args.batch_size
+    cfg["predict_batch_size"] = args.batch_size
+    cfg["pretrain_state_dict"] = None
+    cfg["existing_test_csv"] = None
+
+    epochs = 2 if args.fast else args.epochs
+    seeds = 1 if args.fast else args.seeds
+
+    t0 = time.time()
+    dm = TreeData(csv_file=os.path.join(args.artifact, "train.csv"),
+                  config=cfg, debug=True)
+    t_data = time.time() - t0
+    print("loaded artifact: {} train / {} test rows, {} species".format(
+        len(dm.train), len(dm.test), dm.num_classes), flush=True)
+
+    runs = [run_seed(cfg, dm, seed, epochs) for seed in range(seeds)]
+    micro = [r["micro_accuracy"] for r in runs]
+    macro = [r["macro_accuracy"] for r in runs]
+
+    result = {
+        "note": ("Full 5-level MultiStage trained from scratch on the "
+                 "reference's real committed OSBS artifact (53 train rows, "
+                 "15 species); accuracy over the {} real test individuals. "
+                 "The reference's production accuracy uses ~10k rows + 20 "
+                 "replicates — this validates the pipeline on real data, "
+                 "not the paper number.".format(
+                     runs[0]["n_test_individuals"])),
+        "artifact": args.artifact,
+        "config": {"epochs": epochs, "seeds": seeds,
+                   "batch_size": args.batch_size,
+                   "platform": jax.devices()[0].platform},
+        "micro_accuracy_mean": round(float(np.mean(micro)), 4),
+        "micro_accuracy_std": round(float(np.std(micro)), 4),
+        "macro_accuracy_mean": round(float(np.mean(macro)), 4),
+        "macro_accuracy_std": round(float(np.std(macro)), 4),
+        "chance_level": round(1.0 / 15, 4),
+        "runs": runs,
+        "data_load_s": round(t_data, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in (
+        "micro_accuracy_mean", "macro_accuracy_mean", "chance_level")},
+        indent=1))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
