@@ -497,7 +497,9 @@ class AliveDead:
             mask_host = np.ones(len(perm) + pad, np.float32)
             if pad:
                 mask_host[len(perm):] = 0.0
-                perm = np.concatenate([perm, perm[:pad]])
+                # np.resize cycles, so pad > n (dataset smaller than one
+                # batch) still fills the full batch with repeats
+                perm = np.resize(perm, len(perm) + pad)
             loss_sum, n_batches = jnp.float32(0.0), 0
             for start in range(0, len(perm), batch_size):
                 key, sub = jax.random.split(key)
@@ -550,9 +552,12 @@ class AliveDead:
         - "calibrated": p / (p0 + p1) — the production convention this
           framework's predict paths use (predict_batch): confident pairs
           reach ~1.0, making the 0.95 gate meaningful.
-        Argmax (and hence accuracy/confusion) is identical under both."""
-        if score_mode not in ("reference", "calibrated"):
-            raise ValueError("score_mode must be reference|calibrated, "
+        - "raw": the sigmoid pair itself (one device pass; feed it to
+          scores_reference / scores_calibrated to get both conventions
+          without re-running the forward).
+        Argmax (and hence accuracy/confusion) is identical under all."""
+        if score_mode not in ("reference", "calibrated", "raw"):
+            raise ValueError("score_mode must be reference|calibrated|raw, "
                              "got {!r}".format(score_mode))
         cfg = self.config["dead"]
         batch_size = batch_size or cfg["batch_size"]
@@ -562,6 +567,8 @@ class AliveDead:
         data = x if _already_on_device else jax.device_put(
             jnp.asarray(x, jnp.uint8))
         n = int(data.shape[0])
+        if n == 0:
+            return np.zeros((0, 2))
         idx_all = np.arange(n)
         pad = (-n) % batch_size
         if pad:
@@ -573,6 +580,8 @@ class AliveDead:
                                   self.variables.get("batch_stats", {}),
                                   data, idx))
         p = np.concatenate([np.asarray(o, np.float64) for o in outs])[:n]
+        if score_mode == "raw":
+            return p
         convert = (scores_calibrated if score_mode == "calibrated"
                    else scores_reference)
         return convert(p)
@@ -583,7 +592,14 @@ class AliveDead:
         losses = []
         preds, targets = [], []
         for names, xs, ys in self._batches(ds, cfg["batch_size"]):
-            probs = np.asarray(self.predict_batch(xs))
+            # val_loss under the REFERENCE convention (softmax of the raw
+            # sigmoid pair), like fit_arrays — keeps the plateau scheduler
+            # and cross-loop histories comparable; predict_batch's
+            # calibrated normalize is for production scoring, not losses
+            raw = np.asarray(self._eval_step(
+                self.variables["params"],
+                self.variables.get("batch_stats", {}), jnp.asarray(xs)))
+            probs = scores_reference(raw)
             self.metrics.update(probs, ys)
             preds.append(np.argmax(probs, 1))
             targets.append(ys)

@@ -114,8 +114,12 @@ def main():
     # production gate (reference config.yml:81) is unreachable under it;
     # the calibrated convention (production predict_batch math) is what the
     # dead_threshold is measured against. Argmax metrics are identical.
-    probs = m.evaluate_arrays(x_te, score_mode="reference")
-    probs_cal = m.evaluate_arrays(x_te, score_mode="calibrated")
+    from deeptreeattention_tpu.models.dead import (
+        scores_calibrated, scores_reference)
+
+    raw = m.evaluate_arrays(x_te, score_mode="raw")  # ONE device pass
+    probs = scores_reference(raw)
+    probs_cal = scores_calibrated(raw)
     t_eval = time.time() - t2
     metrics = _classification_metrics(probs, y_te)
     preds = np.argmax(probs, 1)

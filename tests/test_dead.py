@@ -246,3 +246,26 @@ def test_fit_arrays_select_best(config):
     got = _classification_metrics(probs, y)["val_loss"]
     np.testing.assert_allclose(got, history[m.best_epoch]["val_loss"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fit_arrays_smaller_than_batch(config):
+    """pad > n (dataset smaller than one batch): np.resize cycles the
+    permutation so the padded batch is full-length (review finding)."""
+    rng = np.random.RandomState(1)
+    x = rng.randint(0, 256, (3, 32, 32, 3), np.uint8)
+    y = np.array([0, 1, 0], np.int32)
+    m = dead.AliveDead(config=config, depth=18, seed=0)
+    history = m.fit_arrays(x, y, epochs=1, batch_size=8, seed=0)
+    assert len(history) == 1 and np.isfinite(history[0]["train_loss"])
+
+
+def test_evaluate_arrays_empty_and_raw(config):
+    m = dead.AliveDead(config=config, depth=18, seed=0)
+    out = m.evaluate_arrays(np.zeros((0, 32, 32, 3), np.uint8), batch_size=4)
+    assert out.shape == (0, 2)
+    x = np.random.RandomState(0).randint(0, 256, (2, 32, 32, 3), np.uint8)
+    raw = m.evaluate_arrays(x, batch_size=4, score_mode="raw")
+    assert raw.shape == (2, 2) and (raw > 0).all() and (raw < 1).all()
+    np.testing.assert_allclose(
+        dead.scores_reference(raw),
+        m.evaluate_arrays(x, batch_size=4, score_mode="reference"))
