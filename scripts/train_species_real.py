@@ -31,16 +31,12 @@ sys.path.insert(0, REPO)
 ARTIFACT = "/root/reference/tests/data/110ac77ae89043898f618466359c2a2e"
 
 
-def run_seed(config, dm, seed, epochs):
-    from deeptreeattention_tpu.models.multi_stage import MultiStage
-
-    t0 = time.time()
-    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
-                   config=config, seed=seed)
-    history = m.fit(epochs=epochs)
-    t_train = time.time() - t0
-
-    results = m.gather_predictions(m.predict(dm.test))
+def score_outputs(m, dm, outputs):
+    """gather -> decision-tree ensemble -> accuracy metrics for one set of
+    per-level probability outputs (a single seed's, or the seed-averaged
+    replicate ensemble — the reference's production predicts with ~20 model
+    replicates, reference predict.py:135-161)."""
+    results = m.gather_predictions(outputs)
     ensemble_df = m.ensemble(results)
     merged = ensemble_df.merge(dm.test.groupby("individual").head(1),
                                on="individual")
@@ -69,18 +65,49 @@ def run_seed(config, dm, seed, epochs):
             level_acc["level_{}".format(lvl)] = float(
                 np.mean(lm[col_pred].values == lm.level_taxon.values))
     return {
-        "seed": seed,
         "micro_accuracy": round(micro, 4),
         "macro_accuracy": round(macro, 4),
         "per_species_accuracy": {k: round(v, 4)
                                  for k, v in per_species.items()},
         "per_level_accuracy": {k: round(v, 4) for k, v in level_acc.items()},
+        "n_test_individuals": int(len(merged)),
+    }
+
+
+def run_seed(config, dm, seed, epochs):
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    t0 = time.time()
+    m = MultiStage(train_df=dm.train, test_df=dm.test, crowns=dm.crowns,
+                   config=config, seed=seed)
+    history = m.fit(epochs=epochs)
+    t_train = time.time() - t0
+
+    outputs = m.predict(dm.test)
+    summary = score_outputs(m, dm, outputs)
+    summary.update({
+        "seed": seed,
         "final_train_loss": [round(float(x), 4)
                              for x in history[-1]["train_loss"]]
         if history else None,
         "train_s": round(t_train, 1),
-        "n_test_individuals": int(len(merged)),
-    }
+    })
+    return summary, outputs, m
+
+
+def average_outputs(all_outputs):
+    """Score-level replicate ensemble: mean per-level probabilities across
+    seeds (batch order is deterministic for an unshuffled predict loader)."""
+    avg = []
+    for batch_group in zip(*all_outputs):
+        inds = batch_group[0][0]
+        for t in batch_group[1:]:
+            assert list(t[0]) == list(inds), "replicate batch order diverged"
+        n_levels = len(batch_group[0][1])
+        probs = [np.mean([t[1][lvl] for t in batch_group], axis=0)
+                 for lvl in range(n_levels)]
+        avg.append((inds, probs))
+    return avg
 
 
 def main():
@@ -123,9 +150,21 @@ def main():
     print("loaded artifact: {} train / {} test rows, {} species".format(
         len(dm.train), len(dm.test), dm.num_classes), flush=True)
 
-    runs = [run_seed(cfg, dm, seed, epochs) for seed in range(seeds)]
+    runs, all_outputs, last_m = [], [], None
+    for seed in range(seeds):
+        summary, outputs, last_m = run_seed(cfg, dm, seed, epochs)
+        runs.append(summary)
+        all_outputs.append(outputs)
+        print("seed {} micro {}".format(seed, summary["micro_accuracy"]),
+              flush=True)
     micro = [r["micro_accuracy"] for r in runs]
     macro = [r["macro_accuracy"] for r in runs]
+    # reference-style replicate ensemble (production predicts with ~20
+    # model replicates): mean per-level probs across seeds, then the
+    # decision tree (gather/ensemble only need label dicts — identical
+    # across seeds)
+    replicate = (score_outputs(last_m, dm, average_outputs(all_outputs))
+                 if seeds > 1 else None)
 
     result = {
         "note": ("Full 5-level MultiStage trained from scratch on the "
@@ -144,6 +183,7 @@ def main():
         "macro_accuracy_mean": round(float(np.mean(macro)), 4),
         "macro_accuracy_std": round(float(np.std(macro)), 4),
         "chance_level": round(1.0 / 15, 4),
+        "replicate_ensemble": replicate,
         "runs": runs,
         "data_load_s": round(t_data, 1),
     }
