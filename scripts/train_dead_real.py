@@ -69,6 +69,12 @@ def main():
                     help="subsample 256 train / 128 test, 2 epochs")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize activations (HBM headroom)")
+    ap.add_argument("--image_size", type=int, default=224,
+                    help="crop side; 64 is the CPU-fallback recipe")
+    ap.add_argument("--balance", action="store_true",
+                    help="subsample Alive to match Dead count (the CPU "
+                         "fallback recipe; full-data runs use class "
+                         "weights instead)")
     args = ap.parse_args()
 
     import jax
@@ -80,9 +86,17 @@ def main():
     from deeptreeattention_tpu.utils.config import read_config
 
     t0 = time.time()
-    x_tr, y_tr = folder_to_arrays(args.train_dir, cache_dir=args.cache)
-    x_te, y_te = folder_to_arrays(args.test_dir, cache_dir=args.cache)
+    x_tr, y_tr = folder_to_arrays(args.train_dir, size=args.image_size,
+                                  cache_dir=args.cache)
+    x_te, y_te = folder_to_arrays(args.test_dir, size=args.image_size,
+                                  cache_dir=args.cache)
     t_decode = time.time() - t0
+    if args.balance:
+        rs = np.random.RandomState(args.seed)
+        dead_idx = np.where(y_tr == 1)[0]
+        alive_idx = rs.permutation(np.where(y_tr == 0)[0])[:len(dead_idx)]
+        keep = rs.permutation(np.concatenate([dead_idx, alive_idx]))
+        x_tr, y_tr = x_tr[keep], y_tr[keep]
     print("decoded train {} (Alive {}, Dead {}) test {} in {:.1f}s".format(
         len(y_tr), int((y_tr == 0).sum()), int((y_tr == 1).sum()),
         len(y_te), t_decode), flush=True)
@@ -141,6 +155,8 @@ def main():
         "config": {"depth": args.depth, "epochs": epochs,
                    "batch_size": cfg["dead"]["batch_size"],
                    "lr": cfg["dead"]["lr"],
+                   "image_size": args.image_size,
+                   "balanced_subsample": bool(args.balance),
                    "class_weights": args.class_weights,
                    "pretrained": False, "seed": args.seed,
                    "remat": bool(cfg.get("remat")), "fast": bool(args.fast)},
