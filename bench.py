@@ -21,8 +21,8 @@ def main():
     import jax
 
     try:  # reuse compiled programs across bench runs
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
     except Exception as e:
         import sys
 
@@ -37,7 +37,7 @@ def main():
     CLASSES = 20
     # Batch sweep: 4096 -> 635k, 8192 -> 781k, 16384 -> 813k patches/s
     # (fused path; docs/PERF.md rounds 2-3) — 16384 is the knee. The
-    # compilation cache at /tmp/dta_jax_cache is pre-seeded for this shape;
+    # persistent compilation cache (data/cache/jax_cache) is pre-seeded here;
     # a cold compile worst-cases ~20 min through the relay.
     BATCH = int(os.environ.get("DTA_BENCH_BATCH", 16384))
     ITERS = 8

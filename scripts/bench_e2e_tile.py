@@ -90,7 +90,8 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from deeptreeattention_tpu.data import detection
     from deeptreeattention_tpu.data.datamodule import TreeData

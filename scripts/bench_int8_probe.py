@@ -42,8 +42,8 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
     except Exception:
         pass
     import jax.numpy as jnp

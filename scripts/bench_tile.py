@@ -19,7 +19,8 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.year import LearnedEnsemble

@@ -28,7 +28,8 @@ def timed(fn, *args):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dta_jax_cache")
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.year import LearnedEnsemble
