@@ -672,12 +672,33 @@ class AliveDead:
             if k < batch_size:
                 pad = np.repeat(rect_chunk[:1], batch_size - k, axis=0)
                 rect_chunk = np.concatenate([rect_chunk, pad])
-            return _dead_windows(tiles.get(path), rect_chunk, slab)[:k]
+            # tile_for (defined below) drains pipelined outputs on a tile
+            # cache miss before the upload
+            return _dead_windows(tile_for(path), rect_chunk, slab)[:k]
 
         fused = self._fused_window_score(mode, slab)
 
         # batches follow crown order exactly (matching predict_dataset's
-        # partitioning, so batch-BN statistics agree even across tiles)
+        # partitioning, so batch-BN statistics agree even across tiles).
+        #
+        # Dispatch is PIPELINED: on the axon relay a device->host read costs
+        # a full tunnel round-trip, and reading each batch synchronously
+        # measured 2.5k crowns/s against the 7.5k in-jit ceiling
+        # (BENCH_DEAD_PRODUCTION.json, round 4). Batch outputs stay on device
+        # and drain (a) when a NEW tile uploads — bounding device memory to
+        # the tile-cache window — and (b) once at the end.
+        pending = []  # (start_row, k, device_probs)
+
+        def drain():
+            for ps, pk, pout in pending:
+                probs[ps:ps + pk] = np.asarray(pout)[:pk]
+            pending.clear()
+
+        def tile_for(path):
+            if path not in tiles._c:
+                drain()
+            return tiles.get(path)
+
         for s in range(0, n, batch_size):
             e = min(s + batch_size, n)
             k = e - s
@@ -701,8 +722,8 @@ class AliveDead:
                     rect_chunk = np.concatenate([rect_chunk, pad])
                 out = fused(self.variables["params"],
                             self.variables.get("batch_stats", {}),
-                            tiles.get(uniq[0]), jnp.asarray(rect_chunk))
-                probs[s:e] = np.asarray(out)[:k]
+                            tile_for(uniq[0]), jnp.asarray(rect_chunk))
+                pending.append((s, k, out))
                 continue
             # tile-boundary batch (rare): per-path gathers, then the
             # standalone forward — batch-BN statistics still see the full
@@ -714,9 +735,9 @@ class AliveDead:
                 order.append(sel)
             inv = np.argsort(np.concatenate(order))
             x = jnp.concatenate(parts)[jnp.asarray(inv)]
-            probs[s:e] = np.asarray(
-                self.predict_batch(x, use_batch_stats=use_batch_stats)
-            )
+            pending.append(
+                (s, k, self.predict_batch(x, use_batch_stats=use_batch_stats)))
+        drain()
         return probs
 
     def _fused_window_score(self, mode, slab):
