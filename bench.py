@@ -20,13 +20,9 @@ import numpy as np
 def main():
     import jax
 
-    try:  # reuse compiled programs across bench runs
-        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
-    except Exception as e:
-        import sys
-
-        print("warning: compilation cache disabled ({})".format(e), file=sys.stderr)
+    # reuse compiled programs across runs; warns on stderr if unusable
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.hang2020 import Hang2020

@@ -80,6 +80,9 @@ class _TileCache:
         self._c = collections.OrderedDict()
         self.max = max_tiles
 
+    def __contains__(self, path):
+        return path in self._c
+
     def get(self, path):
         if path in self._c:
             self._c.move_to_end(path)
@@ -695,7 +698,7 @@ class AliveDead:
             pending.clear()
 
         def tile_for(path):
-            if path not in tiles._c:
+            if path not in tiles:
                 drain()
             return tiles.get(path)
 

@@ -33,11 +33,8 @@ def timed(fn, *args):
 def main():
     import jax
 
-    try:
-        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
-    except Exception:
-        pass
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     B, H, W, C = int(os.environ.get("PROBE_BATCH", 4096)), 11, 11, 349

@@ -87,12 +87,23 @@ def main():
                "crowns_per_s": round(args.n / min(ts)),
                "batch": args.batch, "n": args.n,
                "warm_s": round(warm_s, 1),
-               "platform": jax.devices()[0].platform}
+               "platform": jax.devices()[0].platform,
+               "sync_reads": False}
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
     out = ("/tmp/bench_dead_production.json" if args.smoke
            else os.path.join(REPO, "BENCH_DEAD_PRODUCTION.json"))
+    # Preserve the pre-pipelining (sync_reads) baseline that models/dead.py
+    # cites as the motivation for the read-pipelining — replace only records
+    # from the current (pipelined) path.
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                old = json.load(f)
+            records = [r for r in old if r.get("sync_reads")] + records
+        except Exception:
+            pass
     with open(out, "w") as f:
         json.dump(records, f, indent=1)
     print("wrote", out)

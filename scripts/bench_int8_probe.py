@@ -41,11 +41,8 @@ def _timed(fn, *args):
 def main():
     import jax
 
-    try:
-        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
-    except Exception:
-        pass
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from jax import lax
 

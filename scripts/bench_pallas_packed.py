@@ -13,11 +13,8 @@ import numpy as np
 def main():
     import jax
 
-    try:
-        from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache()
-    except Exception:
-        pass
+    from deeptreeattention_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from deeptreeattention_tpu.models.hang2020 import SpectralNetwork
