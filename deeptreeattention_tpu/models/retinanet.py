@@ -236,12 +236,15 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
         cand_boxes, cand_scores, cand_labels = [], [], []
         offset = 0
         for li, (logit, reg) in enumerate(zip(logits_list, regs_list)):
-            k = min(topk_per_level, sizes[li])
-            scores_l = jax.nn.sigmoid(
-                logit.reshape(-1, num_classes))  # [HWA, K]
-            best = scores_l.max(axis=1)
-            lab = scores_l.argmax(axis=1)
-            top_scores, top_idx = jax.lax.top_k(best, k)
+            # torchvision flattens the (anchor, class) axis before its
+            # per-level top-k, so one anchor can contribute several classes;
+            # anchor index = flat // K, class = flat % K (reduces to
+            # max-per-anchor when K == 1, the DeepForest case)
+            k = min(topk_per_level, sizes[li] * num_classes)
+            flat = jax.nn.sigmoid(logit.reshape(-1))  # [HWA * K]
+            top_scores, flat_idx = jax.lax.top_k(flat, k)
+            top_idx = flat_idx // num_classes
+            lab = flat_idx % num_classes
             deltas = reg.reshape(-1, 4)[top_idx]
             anch = anchors_all[offset:offset + sizes[li]][top_idx]
             boxes = decode_boxes(deltas, anch)
@@ -253,7 +256,7 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
             ], axis=1)
             cand_boxes.append(boxes)
             cand_scores.append(top_scores)
-            cand_labels.append(lab[top_idx])
+            cand_labels.append(lab)
             offset += sizes[li]
         boxes = jnp.concatenate(cand_boxes)
         scores = jnp.concatenate(cand_scores)
@@ -262,7 +265,13 @@ def build_decoder(image_hw, num_classes=1, score_thresh=0.05,
         degenerate = ((boxes[:, 2] - boxes[:, 0]) <= 0) | (
             (boxes[:, 3] - boxes[:, 1]) <= 0)
         scores = jnp.where(degenerate, 0.0, scores)
-        keep = nms_mask(boxes, scores, nms_thresh) & (scores > 0)
+        # torchvision batched_nms: per-class NMS via a per-class coordinate
+        # offset so cross-class boxes never overlap (no-op for one class)
+        nms_boxes = boxes
+        if num_classes > 1:
+            off = (labels * (max(H, W) + 2)).astype(boxes.dtype)
+            nms_boxes = boxes + off[:, None]
+        keep = nms_mask(nms_boxes, scores, nms_thresh) & (scores > 0)
         final_scores = jnp.where(keep, scores, 0.0)
         take = min(max_detections, int(final_scores.shape[0]))
         top_scores, top_idx = jax.lax.top_k(final_scores, take)
