@@ -119,7 +119,11 @@ def geographic_to_utm(lon, lat, zone, north=True):
     lon = np.asarray(lon, float)
     lat = np.asarray(lat, float)
     phi = np.radians(lat)
+    # wrap into [-pi, pi): zone 1 (cm -177 deg) must see lon 179 deg as
+    # dlam ~ -4 deg, not +356 — the antimeridian-adjacent zones break
+    # without this (the series diverges far outside the zone)
     dlam = np.radians(lon) - _central_meridian(zone)
+    dlam = (dlam + np.pi) % (2 * np.pi) - np.pi
 
     sphi = np.sin(phi)
     # tau' = tan(conformal latitude), computed stably via sinh/atanh
@@ -171,7 +175,10 @@ def utm_to_geographic(easting, northing, zone, north=True):
     tau = _tau_from_taup(taup)
     phi = np.arctan(tau)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return np.degrees(lam + _central_meridian(zone)), np.degrees(phi)
+    lon = np.degrees(lam + _central_meridian(zone))
+    # wrap to [-180, 180): zone-60 eastings reach past the antimeridian
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
 
 
 def transform_xy(x, y, src_epsg, dst_epsg):

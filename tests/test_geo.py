@@ -347,3 +347,25 @@ def test_karney_cross_zone_roundtrip_submm():
     lon, lat = crs.utm_to_geographic(e, n, 60, north=False)
     assert abs(float(lon) - 174.76333) < 1e-9
     assert abs(float(lat) + 36.84833) < 1e-9
+
+
+def test_karney_antimeridian_wrap():
+    """Zones adjacent to the antimeridian: lon 179.9 deg expressed in zone 1
+    (cm -177 deg) must wrap dlam to ~-2.9 deg, not +357; and zone-60 output
+    longitudes wrap back into [-180, 180)."""
+    # a point just WEST of the antimeridian (lon ~179.9), in zone 1's frame
+    e, n = crs.geographic_to_utm(179.9, -16.5, 1, north=False)
+    lon, lat = crs.utm_to_geographic(e, n, 1, north=False)
+    assert abs(float(lon) - 179.9) < 1e-9
+    assert abs(float(lat) + 16.5) < 1e-9
+    # a point just EAST of the antimeridian (lon -179.9), in zone 60's frame
+    e, n = crs.geographic_to_utm(-179.9, -16.5, 60, north=False)
+    lon, lat = crs.utm_to_geographic(e, n, 60, north=False)
+    assert abs(float(lon) + 179.9) < 1e-9
+    # cross-zone UTM->UTM straddling the antimeridian (zone 1 <-> 60)
+    x0, y0 = 300000.0, 8170000.0
+    lon, lat = crs.utm_to_geographic(x0, y0, 1, north=False)
+    xo, yo = crs.geographic_to_utm(lon, lat, 60, north=False)
+    lon2, lat2 = crs.utm_to_geographic(xo, yo, 60, north=False)
+    x1, y1 = crs.geographic_to_utm(lon2, lat2, 1, north=False)
+    assert abs(float(x1) - x0) < 1e-3 and abs(float(y1) - y0) < 1e-3
