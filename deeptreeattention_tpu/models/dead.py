@@ -394,16 +394,21 @@ class AliveDead:
         return history
 
     # -- device-resident training (real-dataset path) -----------------------
-    def _make_array_steps(self):
+    def _make_array_steps(self, augment="hflip"):
         """jit steps over a device-resident uint8 dataset.
 
         The folder fit() path ships normalized float32 batches host->device
         every step — 4x the bytes of the source crops, per epoch, through
         the relay tunnel. Here the whole uint8 dataset is uploaded ONCE;
         each step gathers its shuffled rows, normalizes (ImageNet mean/std),
-        and augments (random hflip — reference src/models/dead.py:24
-        RandomHorizontalFlip(0.5)) on device, fused into the train step.
-        Static batch shape = one compiled program for the whole run."""
+        and augments on device, fused into the train step. Static batch
+        shape = one compiled program for the whole run.
+
+        augment="hflip" is the reference transform (src/models/dead.py:24
+        RandomHorizontalFlip(0.5)); "dihedral" samples all 8 square
+        symmetries (hflip x vflip x transpose) — nadir crowns have no
+        preferred orientation, and the from-scratch backbone (no ImageNet
+        weights offline) needs the extra variety on 882 Dead crowns."""
         model = self.model
         optimizer = self.optimizer
         mean = jnp.asarray(IMAGENET_MEAN)
@@ -437,8 +442,15 @@ class AliveDead:
         def train_step(params, batch_stats, opt_state, data, labels, idx,
                        mask, class_weights, key):
             x = gather_norm(data, idx)
-            flip = jax.random.bernoulli(key, 0.5, (idx.shape[0],))
+            kh, kv, kt = jax.random.split(key, 3)
+            flip = jax.random.bernoulli(kh, 0.5, (idx.shape[0],))
             x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+            if augment == "dihedral":
+                vflip = jax.random.bernoulli(kv, 0.5, (idx.shape[0],))
+                x = jnp.where(vflip[:, None, None, None], x[:, ::-1, :, :], x)
+                tr = jax.random.bernoulli(kt, 0.5, (idx.shape[0],))
+                x = jnp.where(tr[:, None, None, None],
+                              jnp.transpose(x, (0, 2, 1, 3)), x)
             y = jnp.take(labels, idx, axis=0)
             (loss, new_stats), grads = jax.value_and_grad(
                 forward_loss, has_aux=True)(params, batch_stats, x, y,
@@ -460,7 +472,8 @@ class AliveDead:
 
     def fit_arrays(self, x_train, y_train, x_val=None, y_val=None,
                    epochs=None, batch_size=None, class_weights=None,
-                   seed=0, experiment=None, select_best=False):
+                   seed=0, experiment=None, select_best=False,
+                   augment="hflip"):
         """Train on an in-memory uint8 dataset (N, H, W, 3), device-resident.
 
         `class_weights=None` keeps the reference's unweighted CE
@@ -475,8 +488,10 @@ class AliveDead:
         epochs = epochs or cfg["epochs"]
         batch_size = batch_size or cfg["batch_size"]
         if self._array_steps is None:
-            self._array_steps = self._make_array_steps()
-        train_step, eval_step = self._array_steps
+            self._array_steps = {}
+        if augment not in self._array_steps:
+            self._array_steps[augment] = self._make_array_steps(augment)
+        train_step, eval_step = self._array_steps[augment]
         if isinstance(class_weights, str) and class_weights == "balanced":
             class_weights = steps.compute_loss_weights(y_train, 2)
         cw = jnp.asarray(class_weights if class_weights is not None
@@ -565,8 +580,11 @@ class AliveDead:
         cfg = self.config["dead"]
         batch_size = batch_size or cfg["batch_size"]
         if self._array_steps is None:
-            self._array_steps = self._make_array_steps()
-        _, eval_step = self._array_steps
+            self._array_steps = {}
+        if "hflip" not in self._array_steps:
+            # eval_step is augment-independent; any cached pair serves
+            self._array_steps["hflip"] = self._make_array_steps()
+        _, eval_step = self._array_steps["hflip"]
         data = x if _already_on_device else jax.device_put(
             jnp.asarray(x, jnp.uint8))
         n = int(data.shape[0])
@@ -821,17 +839,24 @@ class AliveDead:
         return np.concatenate(true), np.concatenate(pred)
 
     # -- checkpointing ------------------------------------------------------
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, save_dtype=None):
         return checkpoints.save_checkpoint(
             path, self.variables,
             {"scheduler_state": self.scheduler.state_dict(), "depth": self.depth},
+            save_dtype=save_dtype,
         )
 
     @classmethod
     def load_from_checkpoint(cls, path, config, depth=None):
         tree, meta = checkpoints.load_checkpoint(path)
         obj = cls(config, depth=depth or int(meta.get("depth", 50)))
-        obj.variables = jax.tree_util.tree_map(jnp.asarray, tree)
+        # committed snapshots may be stored bf16 (half-size artifact);
+        # compute keeps the configured dtype, so restore floats to f32
+        obj.variables = jax.tree_util.tree_map(
+            lambda x: (jnp.asarray(x, jnp.float32)
+                       if jnp.issubdtype(np.asarray(x).dtype, jnp.floating)
+                       else jnp.asarray(x)),
+            tree)
         if meta.get("scheduler_state"):
             obj.scheduler.load_state_dict(meta["scheduler_state"])
         return obj

@@ -32,19 +32,36 @@ def _read_meta(path):
         return json.load(f)
 
 
-def save_checkpoint(path, tree, meta=None):
+def save_checkpoint(path, tree, meta=None, save_dtype=None):
     """Write tree -> {path}/state.msgpack and meta -> {path}/meta.json.
 
     `path` may also end in .pt/.ckpt — then a directory of that name is made
     (keeps reference-style call sites valid).
+
+    `save_dtype="bfloat16"` casts floating leaves before serializing —
+    halves committed-artifact size (bf16 keeps f32's exponent range; the
+    measured accuracy delta on the shipped dead snapshot is zero at 4
+    decimals, BENCH_DEAD_REAL.json). load_checkpoint(target=...) restores
+    into the target's dtypes; targetless loads get bf16 leaves back.
     """
     if jax.process_count() > 1 and jax.process_index() != 0:
         # multi-host runs share a filesystem (SLURM layout, like the
         # reference's): process 0 writes once, everyone returns the path
         return path
     os.makedirs(path, exist_ok=True)
+    host = _to_host(tree)
+    if save_dtype is not None:
+        import jax.numpy as jnp
+
+        target = jnp.dtype(save_dtype)
+
+        def cast(x):
+            a = np.asarray(x)
+            return a.astype(target) if np.issubdtype(a.dtype, np.floating) else a
+
+        host = jax.tree_util.tree_map(cast, host)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(_to_host(tree)))
+        f.write(serialization.to_bytes(host))
     _write_meta(path, meta)
     return path
 

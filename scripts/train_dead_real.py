@@ -71,6 +71,10 @@ def main():
                     help="rematerialize activations (HBM headroom)")
     ap.add_argument("--image_size", type=int, default=224,
                     help="crop side; 64 is the CPU-fallback recipe")
+    ap.add_argument("--augment", default="hflip",
+                    choices=["hflip", "dihedral"],
+                    help="hflip = the reference transform; dihedral = all 8 "
+                         "square symmetries (from-scratch training lever)")
     ap.add_argument("--balance", action="store_true",
                     help="subsample Alive to match Dead count (the CPU "
                          "fallback recipe; full-data runs use class "
@@ -120,7 +124,7 @@ def main():
     t1 = time.time()
     history = m.fit_arrays(x_tr, y_tr, x_te, y_te, epochs=epochs,
                            class_weights=cw, seed=args.seed,
-                           select_best=True)
+                           select_best=True, augment=args.augment)
     t_train = time.time() - t1
 
     t2 = time.time()
@@ -144,7 +148,12 @@ def main():
     prec, rec = pr_at_threshold(probs_cal, y_te, 0.5)
 
     os.makedirs(args.snapshot, exist_ok=True)
-    m.save_checkpoint(args.snapshot)
+    # bf16 on disk: half-size committable artifact. Verify the round trip —
+    # reload and re-score the test set to pin the bf16 storage delta.
+    m.save_checkpoint(args.snapshot, save_dtype="bfloat16")
+    m2 = AliveDead.load_from_checkpoint(args.snapshot, cfg, depth=args.depth)
+    raw2 = m2.evaluate_arrays(x_te, score_mode="raw")
+    acc_bf16 = _classification_metrics(scores_reference(raw2), y_te)["Accuracy"]
 
     result = {
         "dataset": {"train_dir": args.train_dir, "test_dir": args.test_dir,
@@ -157,10 +166,12 @@ def main():
                    "batch_size": cfg["dead"]["batch_size"],
                    "lr": cfg["dead"]["lr"],
                    "image_size": args.image_size,
+                   "augment": args.augment,
                    "balanced_subsample": bool(args.balance),
                    "class_weights": args.class_weights,
                    "pretrained": False, "seed": args.seed,
                    "remat": bool(cfg.get("remat")), "fast": bool(args.fast)},
+        "platform": __import__("jax").devices()[0].platform,
         "test": {
             "accuracy": round(metrics["Accuracy"], 4),
             "alive_accuracy": round(metrics["Alive Accuracy"], 4),
@@ -178,6 +189,7 @@ def main():
             "dead_precision_at_threshold": round(p95, 4),
             "dead_recall_at_threshold": round(r95, 4),
             "production_threshold": cfg["dead_threshold"],
+            "accuracy_bf16_snapshot_reload": round(acc_bf16, 4),
         },
         "pr_curve_calibrated": pr_curve(probs_cal, y_te, n=41),
         "pr_curve_reference_convention": pr_curve(probs, y_te, n=41),
