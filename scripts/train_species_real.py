@@ -95,6 +95,83 @@ def run_seed(config, dm, seed, epochs):
     return summary, outputs, m
 
 
+def replicate_curve(m, dm, all_outputs, ks=(1, 3, 5, 10, 20), max_subsets=8):
+    """Ensembled accuracy vs replicate count: for each k, average the
+    per-level probabilities over random k-subsets of the trained seeds and
+    score the decision tree (the reference's production sweep runs ~20
+    replicates, reference predict.py:135-161)."""
+    n = len(all_outputs)
+    rs = np.random.RandomState(0)
+    curve = []
+    for k in ks:
+        if k > n:
+            continue
+        micros, macros = [], []
+        n_sub = 1 if k == n else max_subsets
+        for _ in range(n_sub):
+            idx = rs.choice(n, size=k, replace=False)
+            s = score_outputs(m, dm, average_outputs(
+                [all_outputs[i] for i in idx]))
+            micros.append(s["micro_accuracy"])
+            macros.append(s["macro_accuracy"])
+        curve.append({
+            "replicates": int(k), "n_subsets": n_sub,
+            "micro_mean": round(float(np.mean(micros)), 4),
+            "micro_std": round(float(np.std(micros)), 4),
+            "macro_mean": round(float(np.mean(macros)), 4),
+            "macro_std": round(float(np.std(macros)), 4),
+        })
+    return curve
+
+
+def leave_one_out(cfg, dm, epochs, seeds_per_fold=1):
+    """Leave-one-individual-out over the artifact's test individuals: pool
+    train+test rows, hold out ONE test individual per fold, train on the
+    rest, predict the held-out individual (score-averaged over
+    seeds_per_fold replicates). 15 test individuals -> 15 folds; the
+    resulting accuracy has single-individual granularity instead of the
+    15-individual test split's huge error bars (VERDICT r4 weak #6)."""
+    import pandas as pd
+
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    pool = pd.concat([dm.train, dm.test], ignore_index=True)
+    held_individuals = sorted(dm.test.individual.unique())
+    folds = []
+    for ind in held_individuals:
+        fold_test = pool[pool.individual == ind].reset_index(drop=True)
+        fold_train = pool[pool.individual != ind].reset_index(drop=True)
+        t0 = time.time()
+        outs, m = [], None
+        for seed in range(seeds_per_fold):
+            m = MultiStage(train_df=fold_train, test_df=fold_test,
+                           crowns=dm.crowns, config=cfg, seed=seed)
+            m.fit(epochs=epochs)
+            outs.append(m.predict(fold_test))
+        avg = outs[0] if len(outs) == 1 else average_outputs(outs)
+        results = m.gather_predictions(avg)
+        ens = m.ensemble(results)
+        truth = fold_test.taxonID.iloc[0]
+        pred = ens.ensembleTaxonID.iloc[0] if len(ens) else None
+        folds.append({"individual": str(ind), "true": str(truth),
+                      "pred": str(pred), "correct": bool(pred == truth),
+                      "fold_s": round(time.time() - t0, 1)})
+        print("loo {}: true {} pred {} ({:.1f}s)".format(
+            ind, truth, pred, folds[-1]["fold_s"]), flush=True)
+    correct = [f["correct"] for f in folds]
+    per_species = {}
+    for f in folds:
+        per_species.setdefault(f["true"], []).append(f["correct"])
+    return {
+        "n_folds": len(folds),
+        "seeds_per_fold": seeds_per_fold,
+        "micro_accuracy": round(float(np.mean(correct)), 4),
+        "per_species": {k: round(float(np.mean(v)), 4)
+                        for k, v in sorted(per_species.items())},
+        "folds": folds,
+    }
+
+
 def average_outputs(all_outputs):
     """Score-level replicate ensemble: mean per-level probabilities across
     seeds (batch order is deterministic for an unshuffled predict loader)."""
@@ -114,11 +191,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--artifact", default=ARTIFACT)
     ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=20,
+                    help="model replicates (the reference's production "
+                         "sweep uses ~20, reference predict.py:135-161)")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "BENCH_SPECIES_REAL.json"))
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--loo", action="store_true",
+                    help="leave-one-individual-out folds over the test "
+                         "individuals (single-individual granularity)")
+    ap.add_argument("--loo_seeds", type=int, default=1)
+    ap.add_argument("--snapshot_dir", default=None,
+                    help="save each seed's checkpoint under DIR/seed_N "
+                         "(wire into config species_model_paths)")
     args = ap.parse_args()
 
     import jax
@@ -153,11 +239,15 @@ def main():
 
     runs, all_outputs, last_m = [], [], None
     for seed in range(seeds):
-        summary, outputs, last_m = run_seed(cfg, dm, seed, epochs)
+        summary, outputs, m_seed = run_seed(cfg, dm, seed, epochs)
+        last_m = m_seed
         runs.append(summary)
         all_outputs.append(outputs)
-        print("seed {} micro {}".format(seed, summary["micro_accuracy"]),
-              flush=True)
+        if args.snapshot_dir:
+            m_seed.save_checkpoint(
+                os.path.join(args.snapshot_dir, "seed_{}".format(seed)))
+        print("seed {} micro {} ({:.0f}s)".format(
+            seed, summary["micro_accuracy"], summary["train_s"]), flush=True)
     micro = [r["micro_accuracy"] for r in runs]
     macro = [r["macro_accuracy"] for r in runs]
     # reference-style replicate ensemble (production predicts with ~20
@@ -166,6 +256,10 @@ def main():
     # across seeds)
     replicate = (score_outputs(last_m, dm, average_outputs(all_outputs))
                  if seeds > 1 else None)
+    curve = (replicate_curve(last_m, dm, all_outputs)
+             if seeds > 1 else None)
+    loo = (leave_one_out(cfg, dm, epochs, seeds_per_fold=args.loo_seeds)
+           if args.loo else None)
 
     result = {
         "note": ("Full 5-level MultiStage trained from scratch on the "
@@ -185,6 +279,8 @@ def main():
         "macro_accuracy_std": round(float(np.std(macro)), 4),
         "chance_level": round(1.0 / 15, 4),
         "replicate_ensemble": replicate,
+        "replicate_curve": curve,
+        "leave_one_out": loo,
         "runs": runs,
         "data_load_s": round(t_data, 1),
     }
