@@ -138,6 +138,7 @@ def leave_one_out(cfg, dm, epochs, seeds_per_fold=1):
     pool = pd.concat([dm.train, dm.test], ignore_index=True)
     held_individuals = sorted(dm.test.individual.unique())
     folds = []
+    progress = os.environ.get("DTA_SPECIES_PROGRESS")
     for ind in held_individuals:
         fold_test = pool[pool.individual == ind].reset_index(drop=True)
         fold_train = pool[pool.individual != ind].reset_index(drop=True)
@@ -158,6 +159,9 @@ def leave_one_out(cfg, dm, epochs, seeds_per_fold=1):
                       "fold_s": round(time.time() - t0, 1)})
         print("loo {}: true {} pred {} ({:.1f}s)".format(
             ind, truth, pred, folds[-1]["fold_s"]), flush=True)
+        if progress:
+            with open(progress, "w") as f:
+                json.dump({"loo_folds": folds}, f, indent=1)
     correct = [f["correct"] for f in folds]
     per_species = {}
     for f in folds:
@@ -248,6 +252,12 @@ def main():
                 os.path.join(args.snapshot_dir, "seed_{}".format(seed)))
         print("seed {} micro {} ({:.0f}s)".format(
             seed, summary["micro_accuracy"], summary["train_s"]), flush=True)
+        progress = os.environ.get("DTA_SPECIES_PROGRESS")
+        if progress:
+            # crash/timeout insurance on multi-hour runs: per-seed outputs
+            # are recoverable from the per-seed summaries + snapshots
+            with open(progress, "w") as f:
+                json.dump({"runs": runs}, f, indent=1)
     micro = [r["micro_accuracy"] for r in runs]
     macro = [r["macro_accuracy"] for r in runs]
     # reference-style replicate ensemble (production predicts with ~20
