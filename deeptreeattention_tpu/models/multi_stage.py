@@ -705,19 +705,24 @@ class MultiStage:
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, include_opt=True, save_dtype=None):
+        """include_opt=False drops the Adam moments (prediction-only
+        snapshot, ~3x smaller — the loader re-inits them at the scheduler
+        lr); save_dtype="bfloat16" halves on-disk floats (committed
+        artifacts)."""
         from flax import serialization
 
         tree = {
             "levels": {str(i): self.variables[i] for i in range(self.levels)},
             "loss_weights": {str(i): self.loss_weights[i] for i in range(self.levels)},
+        }
+        if include_opt:
             # Adam moments + injected lr — without them a resumed run steps a
             # converged model with zeroed moments at the base config lr
-            "opt_states": {
+            tree["opt_states"] = {
                 str(i): serialization.to_state_dict(self.opt_states[i])
                 for i in range(self.levels)
-            },
-        }
+            }
         meta = {
             "years": [str(y) for y in self.years],
             "species_label_dict": self.species_label_dict,
@@ -728,7 +733,8 @@ class MultiStage:
             "mask_mode": getattr(self, "mask_mode", self.config.get("mask_mode", "batch")),
             "scheduler_state": [s.state_dict() for s in self.schedulers],
         }
-        return checkpoints.save_checkpoint(path, tree, meta)
+        return checkpoints.save_checkpoint(path, tree, meta,
+                                           save_dtype=save_dtype)
 
     @classmethod
     def load_from_checkpoint(cls, path, config, train_df=None, test_df=None, crowns=None):
@@ -776,8 +782,13 @@ class MultiStage:
                 years=len(obj.years), classes=obj.num_classes[level],
                 bands=cfg["bands"], dtype=dtype, mask_mode=obj.mask_mode,
             )
+            # bf16-stored committed snapshots restore to f32 (compute dtype
+            # is the model's `dtype` arg, params stay full precision)
             variables = jax.tree_util.tree_map(
-                jnp.asarray, tree["levels"][str(level)]
+                lambda x: (jnp.asarray(x, jnp.float32)
+                           if jnp.issubdtype(np.asarray(x).dtype, jnp.floating)
+                           else jnp.asarray(x)),
+                tree["levels"][str(level)],
             )
             lr = cfg.get("lr_{}".format(level), 1e-5)
             optimizer = optim.adam_with_plateau(lr)
@@ -800,7 +811,8 @@ class MultiStage:
                 opt_state = optim.set_learning_rate(opt_state, sched.lr)
             obj.opt_states.append(opt_state)
             obj.schedulers.append(sched)
-            obj.loss_weights.append(jnp.asarray(tree["loss_weights"][str(level)]))
+            obj.loss_weights.append(
+                jnp.asarray(tree["loss_weights"][str(level)], jnp.float32))
             obj._train_steps.append(steps.make_train_step(
                 model.apply, optimizer, donate=True, remat=cfg.get("remat", False)))
             obj._eval_steps.append(steps.make_eval_step(obj._eval_apply(model)))

@@ -111,6 +111,33 @@ def test_checkpoint_roundtrip(m, dm, config, tmp_path):
             np.testing.assert_allclose(la, lb, atol=1e-6)
 
 
+def test_checkpoint_bf16_prediction_snapshot(m, dm, config, tmp_path):
+    """Committed-artifact shape: bf16 storage + no optimizer state. Loads
+    with f32 params and predicts within bf16 storage error of the source."""
+    path = str(tmp_path / "snap_bf16")
+    m.save_checkpoint(path, include_opt=False, save_dtype="bfloat16")
+    full = os.path.getsize(os.path.join(
+        str(tmp_path / "snap_bf16"), "state.msgpack"))
+    loaded = MultiStage.load_from_checkpoint(path, config=config)
+    import jax
+
+    for level in range(loaded.levels):
+        leaves = jax.tree_util.tree_leaves(loaded.variables[level]["params"])
+        assert all(l.dtype == np.float32 for l in leaves)
+    ds = TreeDataset(df=dm.test.head(4), config=config, train=False)
+    a = m.predict(m.predict_dataloader(ds))
+    b = loaded.predict(m.predict_dataloader(ds))
+    for (ia, pa), (ib, pb) in zip(a, b):
+        for la, lb in zip(pa, pb):
+            # probabilities; bf16 weight rounding shifts them ~1e-2 worst case
+            np.testing.assert_allclose(la, lb, atol=2e-2)
+    # and it really is smaller than the full f32+opt snapshot
+    full_path = str(tmp_path / "snap_full")
+    m.save_checkpoint(full_path)
+    assert full < 0.25 * os.path.getsize(
+        os.path.join(full_path, "state.msgpack"))
+
+
 def test_checkpoint_restores_optimizer_state(m, config, tmp_path):
     """Adam moments and the scheduler-reduced learning rate survive a
     checkpoint round-trip (exact mid-training recovery)."""
