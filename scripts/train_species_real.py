@@ -95,6 +95,26 @@ def run_seed(config, dm, seed, epochs):
     return summary, outputs, m
 
 
+def load_seed(config, dm, seed, snap_dir):
+    """Resume a trained seed from its checkpoint (crash/timeout recovery
+    for multi-hour sweeps): load -> rebuild test frames -> predict."""
+    from deeptreeattention_tpu.models.multi_stage import MultiStage
+
+    t0 = time.time()
+    m = MultiStage.load_from_checkpoint(
+        os.path.join(snap_dir, "seed_{}".format(seed)), config,
+        train_df=dm.train, test_df=dm.test, crowns=dm.crowns)
+    # load_from_checkpoint restores params/labels only; the per-level test
+    # frames used for scoring come from the (identical) artifact split
+    m.test_frames = m._level_frames(dm.test, train=False)
+    outputs = m.predict(dm.test)
+    summary = score_outputs(m, dm, outputs)
+    summary.update({"seed": seed, "final_train_loss": None,
+                    "predict_s": round(time.time() - t0, 1),
+                    "resumed_from_snapshot": True})
+    return summary, outputs, m
+
+
 def replicate_curve(m, dm, all_outputs, ks=(1, 3, 5, 10, 20), max_subsets=8):
     """Ensembled accuracy vs replicate count: for each k, average the
     per-level probabilities over random k-subsets of the trained seeds and
@@ -209,6 +229,15 @@ def main():
     ap.add_argument("--snapshot_dir", default=None,
                     help="save each seed's checkpoint under DIR/seed_N "
                          "(wire into config species_model_paths)")
+    ap.add_argument("--resume_snapshots", default=None,
+                    help="skip training: load every DIR/seed_N checkpoint, "
+                         "predict, and rebuild the ensemble/curve (crash "
+                         "recovery for a sweep whose process died after "
+                         "the seeds finished)")
+    ap.add_argument("--runs_from", default=None,
+                    help="with --resume_snapshots: merge per-seed train_s/"
+                         "final_train_loss from a progress JSON of the "
+                         "original run")
     args = ap.parse_args()
 
     import jax
@@ -241,6 +270,34 @@ def main():
     print("loaded artifact: {} train / {} test rows, {} species".format(
         len(dm.train), len(dm.test), dm.num_classes), flush=True)
 
+    if args.resume_snapshots:
+        import re
+
+        seed_ids = sorted(
+            int(m.group(1)) for d in os.listdir(args.resume_snapshots)
+            if (m := re.match(r"seed_(\d+)$", d)))
+        trained = {}
+        if args.runs_from:
+            with open(args.runs_from) as f:
+                trained = {r["seed"]: r for r in json.load(f)["runs"]}
+        runs, all_outputs, last_m = [], [], None
+        for seed in seed_ids:
+            summary, outputs, m_seed = load_seed(cfg, dm, seed,
+                                                 args.resume_snapshots)
+            if seed in trained:
+                summary["train_s"] = trained[seed].get("train_s")
+                summary["final_train_loss"] = trained[seed].get(
+                    "final_train_loss")
+            last_m = m_seed
+            runs.append(summary)
+            all_outputs.append(outputs)
+            print("seed {} micro {} (resumed, {:.0f}s predict)".format(
+                seed, summary["micro_accuracy"], summary["predict_s"]),
+                flush=True)
+        seeds = len(runs)
+        return finish(args, cfg, dm, runs, all_outputs, last_m, seeds,
+                      epochs, t_data)
+
     runs, all_outputs, last_m = [], [], None
     for seed in range(seeds):
         summary, outputs, m_seed = run_seed(cfg, dm, seed, epochs)
@@ -258,6 +315,12 @@ def main():
             # are recoverable from the per-seed summaries + snapshots
             with open(progress, "w") as f:
                 json.dump({"runs": runs}, f, indent=1)
+    finish(args, cfg, dm, runs, all_outputs, last_m, seeds, epochs, t_data)
+
+
+def finish(args, cfg, dm, runs, all_outputs, last_m, seeds, epochs, t_data):
+    import jax
+
     micro = [r["micro_accuracy"] for r in runs]
     macro = [r["macro_accuracy"] for r in runs]
     # reference-style replicate ensemble (production predicts with ~20
@@ -268,8 +331,6 @@ def main():
                  if seeds > 1 else None)
     curve = (replicate_curve(last_m, dm, all_outputs)
              if seeds > 1 else None)
-    loo = (leave_one_out(cfg, dm, epochs, seeds_per_fold=args.loo_seeds)
-           if args.loo else None)
 
     result = {
         "note": ("Full 5-level MultiStage trained from scratch on the "
@@ -290,12 +351,19 @@ def main():
         "chance_level": round(1.0 / 15, 4),
         "replicate_ensemble": replicate,
         "replicate_curve": curve,
-        "leave_one_out": loo,
+        "leave_one_out": None,
         "runs": runs,
         "data_load_s": round(t_data, 1),
     }
+    # LOO retrains 15 folds (the slow tail) — persist the ensemble/curve
+    # first so a crash mid-fold costs only the folds
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
+    if args.loo:
+        result["leave_one_out"] = leave_one_out(
+            cfg, dm, epochs, seeds_per_fold=args.loo_seeds)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps({k: result[k] for k in (
         "micro_accuracy_mean", "macro_accuracy_mean", "chance_level")},
         indent=1))
