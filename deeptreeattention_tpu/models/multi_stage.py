@@ -578,7 +578,13 @@ class MultiStage:
         of batch dicts from predict_dataloader()."""
         if isinstance(loader, pd.DataFrame):
             loader = self.predict_dataloader(
-                TreeDataset(df=loader, config=self.config, train=False)
+                # the model's canonical year axis must drive the stacking:
+                # a frame whose tile_years are a subset (or a different
+                # order) of the training years would otherwise build a
+                # wrong-width stack (vmap error) or silently map years to
+                # wrong parameter slots
+                TreeDataset(df=loader, config=self.config, train=False,
+                            years=self.years)
             )
         self._ensure_global_state()
         outputs = []

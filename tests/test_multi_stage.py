@@ -44,6 +44,35 @@ def test_predict_accepts_dataframe(m, dm, config):
     )
 
 
+def test_predict_dataframe_year_subset_and_order(m, dm, config):
+    """predict(df) must stack images on the MODEL's year axis. A frame
+    whose tile_years are a subset of the training years used to build a
+    wrong-width stack (vmap crash — hit by the leave-one-out folds in
+    scripts/train_species_real.py); a frame whose unique-year ORDER
+    differs used to silently map years onto the wrong parameter slots."""
+    years = [str(y) for y in m.years]
+    assert len(years) >= 2
+    # subset: rows carrying only the model's second year — missing years
+    # must zero-fill + mask on the model's axis, not shrink the stack
+    sub = dm.test[dm.test.tile_year.astype(str) == years[1]].reset_index(
+        drop=True)
+    assert len(sub)
+    out = m.gather_predictions(m.predict(sub))
+    assert len(out) == sub.individual.nunique()
+    # order: arrange rows so pd.unique() sees the years reversed — per-
+    # individual scores must match the canonical-order frame exactly
+    rev = dm.test.sort_values(
+        "tile_year", ascending=False, kind="stable").reset_index(drop=True)
+    assert list(rev.tile_year.astype(str).unique()) != years
+    via_rev = m.gather_predictions(m.predict(rev))
+    via_can = m.gather_predictions(m.predict(dm.test))
+    merged = via_rev.merge(via_can, on="individual", suffixes=("_r", "_c"))
+    assert len(merged) == len(via_can)
+    np.testing.assert_allclose(
+        merged["top1_score_level_0_r"], merged["top1_score_level_0_c"],
+        rtol=1e-5)
+
+
 def test_predict_gather_ensemble(m, dm, config):
     ds = TreeDataset(df=dm.test, config=config, train=False)
     loader = m.predict_dataloader(ds)
