@@ -420,8 +420,12 @@ class RetinaNetDetector:
                 self.variables["params"],
                 self.variables.get("batch_stats", {}), jnp.asarray(stack),
                 jnp.asarray(extents))
-            boxes_b = np.asarray(boxes_b)
-            scores_b = np.asarray(scores_b)
+            # host boundary: standard float32 regardless of compute dtype —
+            # a bf16 detector otherwise leaks ml_dtypes.bfloat16 columns
+            # into the DataFrame (pandas cannot concat them) and rounds
+            # pixel coordinates when the chunk offset is added
+            boxes_b = np.asarray(boxes_b, np.float32)
+            scores_b = np.asarray(scores_b, np.float32)
             valid_b = np.asarray(valid_b)
             for g, (r0, c0) in enumerate(group):
                 # decode already clipped to the true chunk extent before NMS

@@ -235,3 +235,26 @@ def test_predict_tile_batched_matches_patch_grid(tmp_path):
     assert (out.image_path == path).all()
     # boxes appear beyond the first patch (grid actually swept)
     assert out[["xmin", "ymin"]].max().max() > 96 or len(out) >= 10
+
+
+def test_predict_tile_bf16_returns_float32_frame(tmp_path):
+    """A bfloat16 detector must hand back standard float32 columns: bf16
+    numpy columns break pd.concat (NotImplementedError in pandas NA
+    handling — hit by scripts/bench_detect_tile.py's wall-clock record)
+    and round pixel coordinates once chunk offsets are added."""
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import Affine
+
+    rng = np.random.RandomState(4)
+    img = (rng.rand(3, 200, 180) * 255).astype(np.uint8)
+    path = str(tmp_path / "2021_OSBS_5_405000_3286000_image.tif")
+    raster.write_raster(path, img, crs=32617,
+                        transform=Affine(0.1, 0, 405000, 0, -0.1, 3286000))
+
+    det = retinanet.RetinaNetDetector(score_thresh=0.0, max_detections=10,
+                                      dtype=jnp.bfloat16)
+    out = det.predict_tile(path, patch_size=96, overlap=0, batch=4)
+    if out is None:
+        pytest.skip("random weights produced no boxes")
+    for col in ("xmin", "ymin", "xmax", "ymax", "score"):
+        assert out[col].dtype == np.float32, (col, out[col].dtype)
