@@ -367,6 +367,11 @@ class MultiStage:
         # decode overlaps device compute (reference DataLoader num_workers
         # analogue); the crop-file predict path is the main beneficiary
         # since predict.py forces preload_images off
+        if isinstance(ds, pd.DataFrame):
+            # same convenience as predict(): the model's canonical year
+            # axis drives the stacking, not the frame's tile_years
+            ds = TreeDataset(df=ds, config=self.config, train=False,
+                             years=self.years)
         return Loader(ds, self.config["predict_batch_size"], shuffle=False,
                       pad_to_batch=self.config.get("pad_batches", True),
                       workers=self.config.get("workers", 0))

@@ -42,6 +42,14 @@ def test_predict_accepts_dataframe(m, dm, config):
     np.testing.assert_allclose(
         via_df["top1_score_level_0"], via_loader["top1_score_level_0"], rtol=1e-5
     )
+    # predict_dataloader itself must accept a raw DataFrame too (the
+    # natural call m.predict(m.predict_dataloader(m.test_df)) used to
+    # KeyError inside the Loader, which indexed the frame by row int)
+    via_dl_df = m.gather_predictions(m.predict(m.predict_dataloader(dm.test)))
+    assert len(via_dl_df) == len(via_df)
+    np.testing.assert_allclose(
+        via_df["top1_score_level_0"], via_dl_df["top1_score_level_0"], rtol=1e-5
+    )
 
 
 def test_predict_dataframe_year_subset_and_order(m, dm, config):
