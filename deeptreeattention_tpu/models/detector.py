@@ -258,13 +258,19 @@ class LearnedDetector(Detector):
 
         patch = patch_size or self.patch
         with raster.open_raster(path) as src:
-            img = np.moveaxis(src.read(), 0, -1).astype(np.float32)
+            img = np.moveaxis(src.read(), 0, -1)
         if img.shape[-1] > 3:
             img = img[..., :3]
+        # keep uint8 tiles uint8 all the way to the device: the net's first
+        # op is astype(dtype)/255 (exact for uint8 values), and the host->
+        # device upload is the tile sweep's wall-clock floor on the relay
+        # (measured 23 s for a u8 10000^2 tile vs 499 s for its f32 copy)
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32)
         h, w = img.shape[:2]
         step = patch - overlap
         origins = [(r0, c0) for r0 in range(0, h, step) for c0 in range(0, w, step)]
-        tiles = np.zeros((len(origins), patch, patch, 3), np.float32)
+        tiles = np.zeros((len(origins), patch, patch, 3), img.dtype)
         extents = []
         for k, (r0, c0) in enumerate(origins):
             chunk = img[r0 : r0 + patch, c0 : c0 + patch]

@@ -344,7 +344,24 @@ class RetinaNetDetector:
                 return jax.tree_util.tree_map(
                     lambda *a: jnp.stack(a), *outs)
 
-            self._programs[hw] = run
+            ph, pw = hw
+
+            @jax.jit
+            def run_raw(params, batch_stats, x, extents):
+                # raw 0..255 input (uint8 stays uint8 across the host->device
+                # transfer — 4x less relay traffic than normalized float32);
+                # ImageNet normalization runs on device. torchvision pads
+                # AFTER normalizing with zeros (GeneralizedRCNNTransform
+                # batch_images), so the band past each image's true extent
+                # is re-zeroed post-normalization.
+                xf = (x.astype(jnp.float32) / 255.0 - _MEAN) / _STD
+                rows = jnp.arange(ph)[None, :] < extents[:, 0:1]
+                cols = jnp.arange(pw)[None, :] < extents[:, 1:2]
+                mask = (rows[:, :, None] & cols[:, None, :])
+                xf = xf * mask[..., None]
+                return run(params, batch_stats, xf, extents)
+
+            self._programs[hw] = (run, run_raw)
         return self._programs[hw]
 
     def _preprocess(self, image):
@@ -363,7 +380,7 @@ class RetinaNetDetector:
         import pandas as pd
 
         img, hw = self._preprocess(image)
-        run = self._program(hw)
+        run, _ = self._program(hw)
         h, w = np.asarray(image).shape[:2]
         boxes, scores, labels, valid = run(
             self.variables["params"],
@@ -400,23 +417,23 @@ class RetinaNetDetector:
         origins = [(r0, c0) for r0 in range(0, h, step)
                    for c0 in range(0, w, step)]
         pad = int(np.ceil(patch_size / 32)) * 32
-        run = self._program((pad, pad))
+        _, run_raw = self._program((pad, pad))
 
+        # raw-pixel chunks go to the device (uint8 tiles stay uint8: 4x less
+        # relay upload than normalized float32, the sweep's measured floor);
+        # ImageNet normalization + pad re-zeroing happen inside the program
+        stack_dtype = img.dtype if img.dtype == np.uint8 else np.float32
         frames = []
         for s in range(0, len(origins), batch):
             group = origins[s:s + batch]
-            stack = np.zeros((batch, pad, pad, 3), np.float32)
+            stack = np.zeros((batch, pad, pad, 3), stack_dtype)
             extents = np.full((batch, 2), float(patch_size), np.float32)
             for g, (r0, c0) in enumerate(group):
-                # normalize per 400-px chunk, not the whole tile: a 10000^2
-                # uint8 tile stays uint8 (300 MB) instead of spawning GB-scale
-                # float32 temporaries on the 1-core bench host
                 chunk = img[r0:r0 + patch_size, c0:c0 + patch_size]
                 ch, cw = chunk.shape[0], chunk.shape[1]
-                stack[g, :ch, :cw] = (
-                    chunk.astype(np.float32) / 255.0 - _MEAN) / _STD
+                stack[g, :ch, :cw] = chunk
                 extents[g] = (ch, cw)
-            boxes_b, scores_b, _, valid_b = run(
+            boxes_b, scores_b, _, valid_b = run_raw(
                 self.variables["params"],
                 self.variables.get("batch_stats", {}), jnp.asarray(stack),
                 jnp.asarray(extents))

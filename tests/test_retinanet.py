@@ -237,6 +237,33 @@ def test_predict_tile_batched_matches_patch_grid(tmp_path):
     assert out[["xmin", "ymin"]].max().max() > 96 or len(out) >= 10
 
 
+def test_predict_tile_device_normalization_matches_predict_image(tmp_path):
+    """The tile sweep uploads RAW uint8 and normalizes on device (4x less
+    relay traffic); a single-patch tile must reproduce the host-normalized
+    predict_image boxes, including the pad band re-zeroed AFTER
+    normalization (torchvision batch_images order)."""
+    from deeptreeattention_tpu.geo import raster
+    from deeptreeattention_tpu.geo.affine import Affine
+
+    rng = np.random.RandomState(7)
+    # 90x96: pads to 96x96 on both paths, and the 6-row pad band would
+    # diverge if it were zeroed before normalization instead of after
+    img = (rng.rand(3, 90, 96) * 255).astype(np.uint8)
+    path = str(tmp_path / "2021_OSBS_5_405000_3286000_image.tif")
+    raster.write_raster(path, img, crs=32617,
+                        transform=Affine(0.1, 0, 405000, 0, -0.1, 3286000))
+
+    det = retinanet.RetinaNetDetector(score_thresh=0.0, max_detections=10)
+    via_tile = det.predict_tile(path, patch_size=96, overlap=0, batch=1)
+    via_image = det.predict_image(np.moveaxis(img, 0, -1))
+    if via_tile is None or via_image is None:
+        pytest.skip("random weights produced no boxes")
+    assert len(via_tile) == len(via_image)
+    for col in ("xmin", "ymin", "xmax", "ymax", "score"):
+        np.testing.assert_allclose(via_tile[col], via_image[col],
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_predict_tile_bf16_returns_float32_frame(tmp_path):
     """A bfloat16 detector must hand back standard float32 columns: bf16
     numpy columns break pd.concat (NotImplementedError in pandas NA
