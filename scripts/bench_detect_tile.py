@@ -82,14 +82,15 @@ def main():
     # src/generate.py:17-42): synthetic-init weights — throughput only.
     # (a) device ceiling: scan-chained backbone+decode on a batch of 400-px
     # patches; (b) honest wall: predict_tile over a 2000^2 uint8 array incl.
-    # host normalize + per-chunk pandas, the path find_crowns runs.
+    # uint8 chunk upload (normalization on device) + per-chunk pandas, the
+    # path find_crowns runs.
     from deeptreeattention_tpu.models.retinanet import RetinaNetDetector
 
     for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         det_rn = RetinaNetDetector(num_classes=1, dtype=dtype)
         BATCH = int(os.environ.get("RETINANET_BATCH", 8))
         PATCH = 416  # 400-px DeepForest window, padded to the /32 grid
-        run = det_rn._program((PATCH, PATCH))
+        run, _ = det_rn._program((PATCH, PATCH))
         x = jnp.asarray(rng.rand(BATCH, PATCH, PATCH, 3).astype(np.float32))
         hw = jnp.full((BATCH, 2), 400.0, jnp.float32)
         params = det_rn.variables["params"]
@@ -146,7 +147,7 @@ def main():
         "px_per_s": round(2000 * 2000 / dt),
         "extrapolated_s_per_km2_tile": round(1e8 / (2000 * 2000 / dt), 1),
         "n_boxes": 0 if out_df is None else int(len(out_df)),
-        "includes": "disk decode + host normalize + device sweep + pandas",
+        "includes": "disk decode + u8 upload + device normalize/sweep + pandas",
         "weights": "synthetic-init",
     }
     records.append(rec)
