@@ -269,3 +269,21 @@ def test_evaluate_arrays_empty_and_raw(config):
     np.testing.assert_allclose(
         dead.scores_reference(raw),
         m.evaluate_arrays(x, batch_size=4, score_mode="reference"))
+
+
+def test_fit_arrays_dihedral_augment(config):
+    """augment="dihedral" (all 8 square symmetries on device) trains and
+    caches its own jit pair without clobbering the hflip programs."""
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 256, (16, 32, 32, 3), np.uint8)
+    y = (x.reshape(16, -1).mean(1) > 127).astype(np.int32)
+    m = dead.AliveDead(config=config, depth=18, seed=0)
+    history = m.fit_arrays(x, y, epochs=1, batch_size=8, seed=0,
+                           augment="dihedral")
+    assert len(history) == 1 and np.isfinite(history[0]["train_loss"])
+    assert set(m._array_steps) == {"dihedral"}
+    # eval path reuses/builds the hflip pair; scores well-formed
+    probs = m.evaluate_arrays(x, batch_size=8)
+    assert probs.shape == (16, 2)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+    assert "hflip" in m._array_steps

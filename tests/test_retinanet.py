@@ -285,3 +285,53 @@ def test_predict_tile_bf16_returns_float32_frame(tmp_path):
         pytest.skip("random weights produced no boxes")
     for col in ("xmin", "ymin", "xmax", "ymax", "score"):
         assert out[col].dtype == np.float32, (col, out[col].dtype)
+
+
+def test_decoder_multiclass_flattened_topk_and_per_class_nms():
+    """K>1 semantics (torchvision RetinaNet postprocess_detections):
+
+    * top-k runs over the FLATTENED (anchor, class) axis, so one anchor
+      can contribute several classes;
+    * NMS is per class (batched_nms): overlapping boxes of DIFFERENT
+      classes both survive, same-class overlaps are suppressed.
+    """
+    H = W = 64
+    K = 3
+    decoder = retinanet.build_decoder((H, W), num_classes=K,
+                                      score_thresh=0.05, nms_thresh=0.5,
+                                      max_detections=10)
+    logits = [np.full((int(np.ceil(H / s)), int(np.ceil(W / s)),
+                       retinanet.NUM_ANCHORS * K), -20.0, np.float32)
+              for s in retinanet.STRIDES]
+    regs = [np.zeros((int(np.ceil(H / s)), int(np.ceil(W / s)),
+                      retinanet.NUM_ANCHORS * 4), np.float32)
+            for s in retinanet.STRIDES]
+    a = 4  # ratio-1.0 anchor; same index in both cells so boxes are congruent
+    # cell (1,1): ONE anchor fires TWO classes (flattened top-k must keep both)
+    logits[0][1, 1, a * K + 1] = 8.0
+    logits[0][1, 1, a * K + 0] = 5.0
+    # cell (1,2), 8 px right (IoU ~ 0.67 with the (1,1) box):
+    #   same class 1 -> suppressed by per-class NMS
+    #   class 2      -> survives (cross-class overlap is allowed)
+    logits[0][1, 2, a * K + 1] = 7.0
+    logits[0][1, 2, a * K + 2] = 6.0
+
+    boxes, scores, labels, valid = decoder(
+        [jnp.asarray(l) for l in logits], [jnp.asarray(r) for r in regs])
+    valid = np.asarray(valid)
+    boxes = np.asarray(boxes)[valid]
+    scores = np.asarray(scores)[valid]
+    labels = np.asarray(labels)[valid]
+
+    assert len(scores) == 3
+    # score order: (1,1) cls1 > (1,2) cls2 > (1,1) cls0; the 0.999-scoring
+    # (1,2) cls1 candidate is gone despite outscoring both survivors below it
+    np.testing.assert_array_equal(labels, [1, 2, 0])
+    np.testing.assert_allclose(
+        scores, [1 / (1 + np.exp(-8.0)), 1 / (1 + np.exp(-6.0)),
+                 1 / (1 + np.exp(-5.0))], rtol=1e-5)
+    # the two classes fired by the SAME anchor decode to the SAME box
+    np.testing.assert_allclose(boxes[0], boxes[2], atol=1e-5)
+    # the surviving cls-2 box is the (1,2) cell's: one stride right in x
+    # (xmax — xmin clips to 0 for both cells with the ~40 px anchor)
+    np.testing.assert_allclose(boxes[1][2] - boxes[0][2], 8.0, atol=1e-4)
